@@ -1,0 +1,50 @@
+"""Flow layer zoo (reference: normflows/flows/__init__.py:1-45)."""
+
+from ..core.flow import Flow, Reverse, Composite, Identity, ScanChain
+from .planar import Planar
+from .radial import Radial
+from .affine.coupling import (
+    AffineConstFlow,
+    CCAffineConst,
+    AffineCoupling,
+    MaskedAffineFlow,
+    AffineCouplingBlock,
+)
+from .normalization import ActNorm, BatchNorm
+from .mixing import (
+    Permute,
+    Invertible1x1Conv,
+    InvertibleAffine,
+    LULinearPermute,
+    _LULinear,
+    _Permutation,
+    _RandomPermutation,
+)
+from .reshape import Split, Merge, Squeeze
+from .periodic import PeriodicWrap, PeriodicShift
+
+__all__ = [
+    "Flow",
+    "Reverse",
+    "Composite",
+    "Identity",
+    "ScanChain",
+    "Planar",
+    "Radial",
+    "AffineConstFlow",
+    "CCAffineConst",
+    "AffineCoupling",
+    "MaskedAffineFlow",
+    "AffineCouplingBlock",
+    "ActNorm",
+    "BatchNorm",
+    "Permute",
+    "Invertible1x1Conv",
+    "InvertibleAffine",
+    "LULinearPermute",
+    "Split",
+    "Merge",
+    "Squeeze",
+    "PeriodicWrap",
+    "PeriodicShift",
+]

@@ -22,6 +22,16 @@ from .mixing import (
 )
 from .reshape import Split, Merge, Squeeze
 from .periodic import PeriodicWrap, PeriodicShift
+from .affine.autoregressive import Autoregressive, MaskedAffineAutoregressive
+from .neural_spline import (
+    PiecewiseRationalQuadraticCoupling,
+    PiecewiseRationalQuadraticCDF,
+    MaskedPiecewiseRationalQuadraticAutoregressive,
+    CoupledRationalQuadraticSpline,
+    CircularCoupledRationalQuadraticSpline,
+    AutoregressiveRationalQuadraticSpline,
+    CircularAutoregressiveRationalQuadraticSpline,
+)
 
 __all__ = [
     "Flow",
@@ -47,4 +57,13 @@ __all__ = [
     "Squeeze",
     "PeriodicWrap",
     "PeriodicShift",
+    "Autoregressive",
+    "MaskedAffineAutoregressive",
+    "PiecewiseRationalQuadraticCoupling",
+    "PiecewiseRationalQuadraticCDF",
+    "MaskedPiecewiseRationalQuadraticAutoregressive",
+    "CoupledRationalQuadraticSpline",
+    "CircularCoupledRationalQuadraticSpline",
+    "AutoregressiveRationalQuadraticSpline",
+    "CircularAutoregressiveRationalQuadraticSpline",
 ]

@@ -1,0 +1,156 @@
+"""Masked autoregressive RQ-spline transform
+(reference: normflows/flows/neural_spline/autoregressive.py:17-134).
+
+Uniform 3K+1 parameter layout (see coupling.py docstring); inverse runs the
+D-step fixed-point recursion under ``lax.fori_loop`` (via the Autoregressive
+base class) instead of a Python loop.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ...core.module import static_field, buffer_field
+from ...core.flow import sum_except_batch
+from ...ops import splines
+from ...nets.made import MADE
+from ...utils.nn import PeriodicFeaturesElementwise
+from ..affine.autoregressive import Autoregressive
+
+
+class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
+    """MADE-parameterized RQ-spline AR transform (autoregressive.py:17-134)."""
+
+    tail_codes: Optional[jnp.ndarray] = buffer_field(default=None)
+    tail_bound: jnp.ndarray = buffer_field(default=None)
+    features: int = static_field(default=2)
+    num_bins: int = static_field(default=10)
+    constrained: bool = static_field(default=False)
+    min_bin_width: float = static_field(default=splines.DEFAULT_MIN_BIN_WIDTH)
+    min_bin_height: float = static_field(default=splines.DEFAULT_MIN_BIN_HEIGHT)
+    min_derivative: float = static_field(default=splines.DEFAULT_MIN_DERIVATIVE)
+
+    @classmethod
+    def create(
+        cls,
+        key,
+        features: int,
+        hidden_features: int,
+        context_features=None,
+        num_bins: int = 10,
+        tails=None,
+        tail_bound=1.0,
+        num_blocks: int = 2,
+        use_residual_blocks: bool = True,
+        random_mask: bool = False,
+        permute_mask: bool = False,
+        activation: str = "relu",
+        init_identity: bool = True,
+        rng_seed: int = 0,
+        min_bin_width=splines.DEFAULT_MIN_BIN_WIDTH,
+        min_bin_height=splines.DEFAULT_MIN_BIN_HEIGHT,
+        min_derivative=splines.DEFAULT_MIN_DERIVATIVE,
+    ):
+        # circular preprocessing (autoregressive.py:44-53)
+        preprocessing = None
+        if isinstance(tails, (list, tuple)):
+            ind_circ = [i for i in range(features) if tails[i] == "circular"]
+            if ind_circ:
+                tb = np.asarray(tail_bound, np.float32)
+                scale_pf = (
+                    np.pi / tb[ind_circ] if tb.ndim > 0 else np.pi / float(tail_bound)
+                )
+                preprocessing = PeriodicFeaturesElementwise.create(
+                    features, ind_circ, scale_pf
+                )
+            codes = np.asarray(
+                [splines.tail_code(t) for t in tails], np.int32
+            )
+            constrained = False
+        elif isinstance(tails, str):
+            codes = np.full(features, splines.tail_code(tails), np.int32)
+            constrained = False
+        else:
+            codes = None
+            constrained = True
+
+        multiplier = 3 * num_bins + 1  # uniform layout
+        made = MADE.create(
+            key,
+            features=features,
+            hidden_features=hidden_features,
+            context_features=context_features,
+            num_blocks=num_blocks,
+            output_multiplier=multiplier,
+            use_residual_blocks=use_residual_blocks,
+            random_mask=random_mask,
+            permute_mask=permute_mask,
+            activation=activation,
+            preprocessing=preprocessing,
+            rng_seed=rng_seed,
+        )
+        if init_identity:
+            constant = float(np.log(np.exp(1 - min_derivative) - 1))
+            made = made.replace(
+                final_layer=made.final_layer.replace(
+                    weight=jnp.zeros_like(made.final_layer.weight),
+                    bias=jnp.full_like(made.final_layer.bias, constant),
+                )
+            )
+        bound = (
+            np.full(features, float(tail_bound), np.float32)
+            if np.ndim(tail_bound) == 0
+            else np.asarray(tail_bound, np.float32)
+        )
+        return cls(
+            autoregressive_net=made,
+            tail_codes=None if codes is None else jnp.asarray(codes),
+            tail_bound=jnp.asarray(bound),
+            features=features,
+            num_bins=num_bins,
+            constrained=constrained,
+            min_bin_width=min_bin_width,
+            min_bin_height=min_bin_height,
+            min_derivative=min_derivative,
+        )
+
+    def _elementwise(self, inputs, params, inverse):
+        b = inputs.shape[0]
+        params = params.reshape(b, self.features, 3 * self.num_bins + 1)
+        K = self.num_bins
+        uw = params[..., :K]
+        uh = params[..., K : 2 * K]
+        ud = params[..., 2 * K :]
+        hidden = self.autoregressive_net.hidden_features
+        if hidden:
+            scale = 1.0 / np.sqrt(hidden)
+            uw = uw * scale
+            uh = uh * scale
+        if self.constrained:
+            derivs = splines.make_knot_derivatives(
+                ud, jnp.int32(splines.TAIL_NONE), self.min_derivative
+            )
+            outputs, logabsdet = splines.rational_quadratic_spline(
+                inputs, uw, uh, derivs, inverse=inverse,
+                min_bin_width=self.min_bin_width,
+                min_bin_height=self.min_bin_height,
+            )
+        else:
+            outputs, logabsdet = splines.unconstrained_rational_quadratic_spline(
+                inputs, uw, uh, ud, inverse=inverse,
+                tail_codes=self.tail_codes, tail_bound=self.tail_bound,
+                min_bin_width=self.min_bin_width,
+                min_bin_height=self.min_bin_height,
+                min_derivative=self.min_derivative,
+            )
+        return outputs, sum_except_batch(logabsdet)
+
+    def _elementwise_forward(self, inputs, params):
+        return self._elementwise(inputs, params, inverse=False)
+
+    def _elementwise_inverse(self, inputs, params):
+        return self._elementwise(inputs, params, inverse=True)

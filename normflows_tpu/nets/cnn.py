@@ -1,0 +1,121 @@
+"""Conv nets (reference: normflows/nets/cnn.py:5-63), NCHW layout.
+
+Convolutions run through ``lax.conv_general_dilated`` with explicit NCHW/OIHW
+dimension numbers; XLA lowers 3x3/1x1 convs onto the MXU.  An optional
+``compute_dtype='bfloat16'`` casts activations/weights for the conv while
+keeping f32 params and f32 accumulation (preferred_element_type).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.module import Module, static_field
+
+
+class Conv2d(Module):
+    """2-D convolution, NCHW, same-padding by kernel//2."""
+
+    weight: jnp.ndarray  # (out, in, kh, kw)
+    bias: Optional[jnp.ndarray]
+    padding: int = static_field(default=0)
+    compute_dtype: Optional[str] = static_field(default=None)
+
+    @classmethod
+    def create(cls, key, in_channels, out_channels, kernel_size, bias=True,
+               zeros=False, weight_std=None, compute_dtype=None):
+        k = kernel_size
+        fan_in = in_channels * k * k
+        if zeros:
+            w = jnp.zeros((out_channels, in_channels, k, k))
+        elif weight_std is not None:
+            w = weight_std * jax.random.normal(key, (out_channels, in_channels, k, k))
+        else:  # torch default init
+            bound = 1.0 / np.sqrt(fan_in)
+            w = jax.random.uniform(
+                key, (out_channels, in_channels, k, k), minval=-bound, maxval=bound
+            )
+        b = jnp.zeros(out_channels) if bias else None
+        return cls(weight=w, bias=b, padding=k // 2, compute_dtype=compute_dtype)
+
+    def __call__(self, x):
+        w = self.weight
+        if self.compute_dtype is not None:
+            dt = jnp.dtype(self.compute_dtype)
+            x_c, w = x.astype(dt), w.astype(dt)
+        else:
+            x_c = x
+        y = jax.lax.conv_general_dilated(
+            x_c,
+            w,
+            window_strides=(1, 1),
+            padding=[(self.padding, self.padding)] * 2,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.bias is not None:
+            y = y + self.bias[None, :, None, None]
+        return y.astype(x.dtype)
+
+
+class NetActNorm(Module):
+    """Per-channel scale/shift used inside ConvNet2d (utils/nn.py:26-43).
+
+    Identity-initialized; data-dependent whitening is applied by
+    ``data_dep_init`` traversals when requested.
+    """
+
+    s: jnp.ndarray
+    t: jnp.ndarray
+
+    @classmethod
+    def create(cls, shape):
+        return cls(s=jnp.zeros((1, *shape)), t=jnp.zeros((1, *shape)))
+
+    def __call__(self, x):
+        return x * jnp.exp(self.s) + self.t
+
+
+class ConvNet2d(Module):
+    """Conv stack with leaky ReLU; zero-init output conv (cnn.py:5-63)."""
+
+    convs: tuple
+    actnorms: tuple
+    leaky: float = static_field(default=0.0)
+
+    @classmethod
+    def create(cls, key, channels, kernel_size, leaky=0.0, init_zeros=True,
+               actnorm=False, weight_std=None, compute_dtype=None):
+        n = len(kernel_size)
+        keys = jax.random.split(key, n)
+        convs, actnorms = [], []
+        for i in range(n - 1):
+            convs.append(
+                Conv2d.create(
+                    keys[i], channels[i], channels[i + 1], kernel_size[i],
+                    bias=not actnorm, weight_std=weight_std,
+                    compute_dtype=compute_dtype,
+                )
+            )
+            actnorms.append(
+                NetActNorm.create((channels[i + 1], 1, 1)) if actnorm else None
+            )
+        convs.append(
+            Conv2d.create(
+                keys[-1], channels[n - 1], channels[n], kernel_size[-1],
+                zeros=init_zeros, compute_dtype=compute_dtype,
+            )
+        )
+        return cls(convs=tuple(convs), actnorms=tuple(actnorms), leaky=leaky)
+
+    def __call__(self, x, context=None):
+        for i, conv in enumerate(self.convs[:-1]):
+            x = conv(x)
+            if self.actnorms[i] is not None:
+                x = self.actnorms[i](x)
+            x = jax.nn.leaky_relu(x, self.leaky)
+        return self.convs[-1](x)

@@ -1,0 +1,262 @@
+"""MADE — masked autoregressive parameter network.
+
+Behavioral re-implementation of the reference MADE
+(``/root/reference/normflows/nets/made.py:19-304``, itself from
+bayesiains/nsf) with TPU-first choices: degree masks are computed **once with
+numpy at construction** and stored as non-trainable buffers (static shapes, no
+host work at trace time); masked matmuls run as dense ``(W * mask)`` products —
+on the MXU a dense masked matmul beats any gather-based sparse trick at these
+sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.module import Module, static_field, buffer_field
+from .mlp import Linear
+
+
+def _input_degrees(features: int) -> np.ndarray:
+    return np.arange(1, features + 1)
+
+
+def _hidden_degrees(out_features: int, autoregressive_features: int,
+                    rng: Optional[np.random.Generator], min_in_degree: int):
+    """Degrees for a hidden masked layer (made.py:62-76)."""
+    if rng is not None:  # random mask
+        lo = min(min_in_degree, autoregressive_features - 1)
+        return rng.integers(lo, autoregressive_features, size=out_features)
+    max_ = max(1, autoregressive_features - 1)
+    min_ = min(1, autoregressive_features - 1)
+    return np.arange(out_features) % max_ + min_
+
+
+class MaskedLinear(Module):
+    """Linear layer with a fixed autoregressive mask (made.py:19-81)."""
+
+    weight: jnp.ndarray  # (in, out)
+    bias: Optional[jnp.ndarray]
+    mask: jnp.ndarray = buffer_field()  # (in, out)
+    degrees: jnp.ndarray = buffer_field()  # (out,)
+
+    @classmethod
+    def create(
+        cls,
+        key,
+        in_degrees: np.ndarray,
+        out_features: int,
+        autoregressive_features: int,
+        random_mask: bool = False,
+        is_output: bool = False,
+        bias: bool = True,
+        out_degrees_: Optional[np.ndarray] = None,
+        rng_seed: int = 0,
+    ):
+        in_degrees = np.asarray(in_degrees)
+        in_features = len(in_degrees)
+        if is_output:
+            if out_degrees_ is None:
+                out_degrees_ = _input_degrees(autoregressive_features)
+            out_degrees = np.repeat(
+                np.asarray(out_degrees_),
+                out_features // autoregressive_features,
+            )
+            # strict mask: output connects only to strictly-lower degrees
+            mask = (out_degrees[:, None] > in_degrees[None, :]).astype(np.float32)
+        else:
+            rng = np.random.default_rng(rng_seed) if random_mask else None
+            out_degrees = _hidden_degrees(
+                out_features, autoregressive_features, rng, int(in_degrees.min())
+            )
+            mask = (out_degrees[:, None] >= in_degrees[None, :]).astype(np.float32)
+        lin = Linear.create(key, in_features, out_features, bias=bias, init="torch")
+        return cls(
+            weight=lin.weight,
+            bias=lin.bias,
+            mask=jnp.asarray(mask.T),  # stored (in, out) to match weight
+            degrees=jnp.asarray(out_degrees),
+        )
+
+    def np_degrees(self):
+        return np.asarray(self.degrees)
+
+    def __call__(self, x):
+        y = x @ (self.weight * self.mask)
+        if self.bias is not None:
+            y = y + self.bias
+        return y
+
+
+def _act(name, x):
+    if name == "relu":
+        return jax.nn.relu(x)
+    if name == "tanh":
+        return jnp.tanh(x)
+    if name == "leaky_relu":
+        return jax.nn.leaky_relu(x)
+    raise NotImplementedError(f"activation {name}")
+
+
+class MaskedFeedforwardBlock(Module):
+    """Masked linear + activation (made.py:84-137); no context support."""
+
+    linear: MaskedLinear
+    activation: str = static_field(default="relu")
+
+    @classmethod
+    def create(cls, key, in_degrees, autoregressive_features, random_mask=False,
+               activation="relu", rng_seed: int = 0):
+        linear = MaskedLinear.create(
+            key, in_degrees, len(in_degrees), autoregressive_features,
+            random_mask=random_mask, is_output=False, rng_seed=rng_seed,
+        )
+        return cls(linear=linear, activation=activation)
+
+    @property
+    def degrees(self):
+        return self.linear.degrees
+
+    def __call__(self, x, context=None):
+        return _act(self.activation, self.linear(x))
+
+
+class MaskedResidualBlock(Module):
+    """Two masked linears with residual + GLU context injection (made.py:140-214)."""
+
+    linear_0: MaskedLinear
+    linear_1: MaskedLinear
+    context_layer: Optional[Linear]
+    activation: str = static_field(default="relu")
+
+    @classmethod
+    def create(cls, key, in_degrees, autoregressive_features, context_features=None,
+               activation="relu", zero_initialization=True):
+        k0, k1, kc, kz = jax.random.split(key, 4)
+        linear_0 = MaskedLinear.create(
+            k0, in_degrees, len(in_degrees), autoregressive_features, is_output=False
+        )
+        linear_1 = MaskedLinear.create(
+            k1, linear_0.np_degrees(), len(in_degrees), autoregressive_features,
+            is_output=False,
+        )
+        if not np.all(linear_1.np_degrees() >= np.asarray(in_degrees)):
+            raise RuntimeError(
+                "In a masked residual block, the output degrees can't be"
+                " less than the corresponding input degrees."
+            )
+        if zero_initialization:
+            f = len(in_degrees)
+            w = jax.random.uniform(kz, (f, f), minval=-1e-3, maxval=1e-3)
+            linear_1 = linear_1.replace(
+                weight=w, bias=jax.random.uniform(kc, (f,), minval=-1e-3, maxval=1e-3)
+            )
+        ctx = (
+            Linear.create(kc, context_features, len(in_degrees), init="torch")
+            if context_features is not None
+            else None
+        )
+        return cls(
+            linear_0=linear_0, linear_1=linear_1, context_layer=ctx,
+            activation=activation,
+        )
+
+    @property
+    def degrees(self):
+        return self.linear_1.degrees
+
+    def __call__(self, x, context=None):
+        temps = _act(self.activation, x)
+        temps = self.linear_0(temps)
+        temps = _act(self.activation, temps)
+        temps = self.linear_1(temps)
+        if context is not None and self.context_layer is not None:
+            # torch F.glu(cat(a, b)) = a * sigmoid(b)
+            temps = temps * jax.nn.sigmoid(self.context_layer(context))
+        return x + temps
+
+
+class MADE(Module):
+    """MADE with residual or feedforward blocks (made.py:217-304)."""
+
+    initial_layer: MaskedLinear
+    context_layer: Optional[Linear]
+    blocks: tuple
+    final_layer: MaskedLinear
+    preprocessing: Optional[Module]
+    hidden_features: int = static_field(default=0)
+
+    @classmethod
+    def create(
+        cls,
+        key,
+        features: int,
+        hidden_features: int,
+        context_features=None,
+        num_blocks: int = 2,
+        output_multiplier: int = 1,
+        use_residual_blocks: bool = True,
+        random_mask: bool = False,
+        permute_mask: bool = False,
+        activation: str = "relu",
+        preprocessing=None,
+        rng_seed: int = 0,
+    ):
+        if use_residual_blocks and random_mask:
+            raise ValueError("Residual blocks can't be used with random masks.")
+        keys = jax.random.split(key, num_blocks + 3)
+        input_degrees_ = _input_degrees(features)
+        if permute_mask:
+            rng = np.random.default_rng(rng_seed)
+            input_degrees_ = input_degrees_[rng.permutation(features)]
+        initial = MaskedLinear.create(
+            keys[0], input_degrees_, hidden_features, features,
+            random_mask=random_mask, is_output=False, rng_seed=rng_seed,
+        )
+        ctx = (
+            Linear.create(keys[1], context_features, hidden_features, init="torch")
+            if context_features is not None
+            else None
+        )
+        blocks = []
+        prev = initial.np_degrees()
+        for i in range(num_blocks):
+            if use_residual_blocks:
+                block = MaskedResidualBlock.create(
+                    keys[2 + i], prev, features, context_features=context_features,
+                    activation=activation,
+                )
+            else:
+                block = MaskedFeedforwardBlock.create(
+                    keys[2 + i], prev, features, random_mask=random_mask,
+                    activation=activation, rng_seed=rng_seed + i + 1,
+                )
+            prev = block.linear.np_degrees() if not use_residual_blocks else (
+                block.linear_1.np_degrees()
+            )
+            blocks.append(block)
+        final = MaskedLinear.create(
+            keys[-1], prev, features * output_multiplier, features,
+            random_mask=random_mask, is_output=True, out_degrees_=input_degrees_,
+        )
+        return cls(
+            initial_layer=initial,
+            context_layer=ctx,
+            blocks=tuple(blocks),
+            final_layer=final,
+            preprocessing=preprocessing,
+            hidden_features=hidden_features,
+        )
+
+    def __call__(self, x, context=None):
+        out = self.preprocessing(x) if self.preprocessing is not None else x
+        out = self.initial_layer(out)
+        if context is not None and self.context_layer is not None:
+            out = out + self.context_layer(context)
+        for block in self.blocks:
+            out = block(out, context)
+        return self.final_layer(out)

@@ -25,6 +25,7 @@ boundary slope 1; 'circular' uses K derivatives with the periodic closure
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -41,8 +42,8 @@ _TAIL_CODES = {None: TAIL_NONE, "linear": TAIL_LINEAR, "circular": TAIL_CIRCULAR
 
 
 def tail_code(tail) -> int:
-    if isinstance(tail, int):
-        return tail
+    if isinstance(tail, (int, np.integer)):
+        return int(tail)
     return _TAIL_CODES[tail]
 
 

@@ -19,8 +19,8 @@ __all__ = [
 
 
 def tile(x, n: int):
-    """Repeat batch n times, interleaved like torch's tile util (nn.py:181-184)."""
-    return jnp.repeat(x[None], n, axis=0).reshape(-1, *x.shape[1:])
+    """Element-wise repeat: [x1, x2, ...] -> [x1]*n + [x2]*n + ... (nn.py:181-187)."""
+    return jnp.repeat(jnp.reshape(x, -1), n)
 
 
 class ConstScaleLayer(Module):
@@ -51,6 +51,7 @@ class PeriodicFeaturesElementwise(Module):
     """
 
     ind: jnp.ndarray = buffer_field()  # periodic dims (int)
+    rest_ind: jnp.ndarray = buffer_field()  # non-periodic dims
     inv_perm: jnp.ndarray = buffer_field()  # restore original order
     weights: jnp.ndarray  # (n_periodic, 2)
     scale: jnp.ndarray = buffer_field()  # frequency per periodic dim
@@ -59,18 +60,22 @@ class PeriodicFeaturesElementwise(Module):
 
     @classmethod
     def create(cls, ndim: int, ind, scale=1.0, bias: bool = False, activation=None):
-        ind = jnp.asarray(ind, jnp.int32).reshape(-1)
-        rest = jnp.asarray(
-            [i for i in range(ndim) if i not in set(int(j) for j in ind)], jnp.int32
+        import numpy as np
+
+        ind = np.asarray(ind, np.int32).reshape(-1)
+        rest = np.asarray(
+            [i for i in range(ndim) if i not in set(ind.tolist())], np.int32
         )
-        perm = jnp.concatenate([ind, rest])
-        inv_perm = jnp.zeros(ndim, jnp.int32).at[perm].set(jnp.arange(ndim, dtype=jnp.int32))
+        perm = np.concatenate([ind, rest])
+        inv_perm = np.zeros(ndim, np.int32)
+        inv_perm[perm] = np.arange(ndim)
         n_p = ind.shape[0]
         scale = jnp.broadcast_to(jnp.asarray(scale, jnp.float32), (n_p,))
         weights = jnp.ones((n_p, 2), jnp.float32)
         b = jnp.zeros(n_p, jnp.float32) if bias else None
         return cls(
-            ind=ind, inv_perm=inv_perm, weights=weights, scale=scale, bias=b,
+            ind=jnp.asarray(ind), rest_ind=jnp.asarray(rest),
+            inv_perm=jnp.asarray(inv_perm), weights=weights, scale=scale, bias=b,
             activation=activation,
         )
 
@@ -81,11 +86,7 @@ class PeriodicFeaturesElementwise(Module):
             feat = feat + self.bias
         if self.activation == "tanh":
             feat = jnp.tanh(feat)
-        rest_ind = jnp.asarray(
-            [i for i in range(x.shape[-1]) if i not in set(int(j) for j in self.ind)],
-            jnp.int32,
-        )
-        out = jnp.concatenate([feat, x[..., rest_ind]], axis=-1)
+        out = jnp.concatenate([feat, x[..., self.rest_ind]], axis=-1)
         return out[..., self.inv_perm]
 
 

@@ -1,0 +1,182 @@
+"""MADE / MAF / neural-spline flow tests (cf. reference nets/made_test.py,
+flows/affine/autoregressive_test.py, flows/neural_spline/wrapper_test.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import normflows_tpu as nft
+from normflows_tpu import flows, distributions
+from normflows_tpu.nets import MADE, ResidualNet, ConvResidualNet
+from tests.helpers import assert_close, check_forward_inverse
+
+KEY = jax.random.key(7)
+
+
+def rand(shape, key=KEY):
+    return jax.random.normal(key, shape)
+
+
+class TestMADE:
+    def test_shapes(self):
+        made = MADE.create(KEY, features=5, hidden_features=32, output_multiplier=3)
+        out = made(rand((7, 5)))
+        assert out.shape == (7, 15)
+
+    def test_autoregressive_property(self):
+        """Output for dim i must not depend on inputs j >= i (degree order)."""
+        D = 6
+        made = MADE.create(KEY, features=D, hidden_features=64, output_multiplier=2)
+        x = rand((1, D))
+
+        jac = jax.jacobian(lambda x: made(x[None])[0])(x[0])  # (D*2, D)
+        jac = jac.reshape(D, 2, D)
+        for i in range(D):
+            for j in range(D):
+                if j >= i:  # degrees are 1..D in order; output i has degree i+1
+                    assert_close(jac[i, :, j], jnp.zeros(2), atol=1e-6,
+                                 msg=f"output {i} depends on input {j}")
+
+    def test_context(self):
+        made = MADE.create(KEY, features=4, hidden_features=16,
+                           context_features=3, output_multiplier=2)
+        out = made(rand((5, 4)), rand((5, 3), jax.random.key(1)))
+        assert out.shape == (5, 8)
+
+    def test_feedforward_blocks(self):
+        made = MADE.create(KEY, features=4, hidden_features=16,
+                           use_residual_blocks=False, output_multiplier=1)
+        assert made(rand((5, 4))).shape == (5, 4)
+
+
+class TestMAF:
+    @pytest.mark.parametrize("use_residual_blocks", [True, False])
+    def test_roundtrip(self, use_residual_blocks):
+        flow = flows.MaskedAffineAutoregressive.create(
+            KEY, features=4, hidden_features=32,
+            use_residual_blocks=use_residual_blocks,
+        )
+        check_forward_inverse(flow, rand((5, 4)), atol=1e-3, rtol=1e-3)
+
+    def test_context(self):
+        flow = flows.MaskedAffineAutoregressive.create(
+            KEY, features=4, hidden_features=32, context_features=2
+        )
+        ctx = rand((5, 2), jax.random.key(3))
+        z = rand((5, 4))
+        out, ld_f = flow.forward(z, ctx)
+        rec, ld_i = flow.inverse(out, ctx)
+        assert_close(rec, z, atol=1e-3, rtol=1e-3)
+        assert_close(ld_f + ld_i, jnp.zeros(5), atol=1e-3)
+
+
+class TestNSFWrappers:
+    @pytest.mark.parametrize("latent", [2, 5])
+    @pytest.mark.parametrize("context", [None, 3])
+    def test_coupled_rqs(self, latent, context):
+        flow = flows.CoupledRationalQuadraticSpline.create(
+            KEY, latent, 2, 32, num_context_channels=context
+        )
+        z = 2.0 * rand((6, latent))
+        ctx = rand((6, context), jax.random.key(5)) if context else None
+        check_forward_inverse(flow, z, context=ctx, atol=1e-3, rtol=1e-3)
+
+    def test_coupled_rqs_identity_init(self):
+        flow = flows.CoupledRationalQuadraticSpline.create(KEY, 4, 2, 32)
+        z = rand((5, 4))
+        out, ld = flow.forward(z)
+        assert_close(out, z, atol=1e-5)
+        assert_close(ld, jnp.zeros(5), atol=1e-5)
+
+    @pytest.mark.parametrize("tail_bound", [3.0, "tensor"])
+    def test_circular_coupled(self, tail_bound):
+        tb = jnp.array([5.0, np.pi]) if tail_bound == "tensor" else tail_bound
+        flow = flows.CircularCoupledRationalQuadraticSpline.create(
+            KEY, 2, 2, 32, ind_circ=[1], tail_bound=tb
+        )
+        z = jnp.stack(
+            [2 * rand((8,)),
+             jax.random.uniform(jax.random.key(2), (8,), minval=-np.pi, maxval=np.pi)],
+            axis=1,
+        )
+        check_forward_inverse(flow, z, atol=1e-3, rtol=1e-3)
+
+    @pytest.mark.parametrize("permute_mask", [False, True])
+    def test_ar_rqs(self, permute_mask):
+        flow = flows.AutoregressiveRationalQuadraticSpline.create(
+            KEY, 3, 2, 32, permute_mask=permute_mask
+        )
+        check_forward_inverse(flow, 2 * rand((5, 3)), atol=1e-3, rtol=1e-3)
+
+    def test_circular_ar_rqs(self):
+        flow = flows.CircularAutoregressiveRationalQuadraticSpline.create(
+            KEY, 2, 1, 64, ind_circ=[1], num_bins=10,
+            tail_bound=jnp.array([5.0, np.pi]), permute_mask=True,
+        )
+        z = jnp.stack(
+            [2 * rand((8,)),
+             jax.random.uniform(jax.random.key(4), (8,), minval=-np.pi, maxval=np.pi)],
+            axis=1,
+        )
+        check_forward_inverse(flow, z, atol=1e-3, rtol=1e-3)
+
+    def test_conv_coupling_4d(self):
+        def net_fn(in_ch, out_ch):
+            return ConvResidualNet.create(KEY, in_ch, out_ch, hidden_channels=16)
+
+        flow = flows.PiecewiseRationalQuadraticCoupling.create(
+            mask=np.array([1, 0, 1, 0]), transform_net_create_fn=net_fn,
+            num_bins=4, tails="linear", tail_bound=3.0,
+        )
+        z = rand((2, 4, 4, 4))
+        check_forward_inverse(flow, z, atol=1e-3, rtol=1e-3)
+
+
+class TestNSFCylinderModel:
+    """The flagship reverse-KL benchmark config (paper_example_nsf.ipynb)."""
+
+    def _build(self, K=2):
+        base = distributions.UniformGaussian.create(2, [1], jnp.array([1.0, 2 * np.pi]))
+        layers = []
+        for i in range(K):
+            layers.append(
+                flows.CircularAutoregressiveRationalQuadraticSpline.create(
+                    jax.random.key(i), 2, 1, 64, ind_circ=[1], num_bins=8,
+                    tail_bound=jnp.array([5.0, np.pi]), permute_mask=True,
+                    rng_seed=i,
+                )
+            )
+        target = distributions.GaussianVonMises()
+        return nft.NormalizingFlow.create(base, layers, p=target)
+
+    def test_sample_log_prob_consistency(self):
+        model = self._build()
+        z, log_q = model.sample(jax.random.key(0), 64)
+        assert_close(model.log_prob(z), log_q, atol=1e-3, rtol=1e-3)
+
+    def test_reverse_kld_trains(self):
+        import optax
+
+        model = self._build(K=4)
+        opt = optax.adam(3e-3)
+        diff, rest = nft.partition(model)
+        state = opt.init(diff)
+
+        @jax.jit
+        def step(diff, state, key):
+            def loss_fn(d):
+                return nft.combine(d, rest).reverse_kld(key, 512)
+
+            loss, grads = jax.value_and_grad(loss_fn)(diff)
+            updates, state = opt.update(grads, state, diff)
+            return optax.apply_updates(diff, updates), state, loss
+
+        losses = []
+        key = jax.random.key(10)
+        for i in range(40):
+            key, sub = jax.random.split(key)
+            diff, state, loss = step(diff, state, sub)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], f"{losses[0]} -> {losses[-1]}"

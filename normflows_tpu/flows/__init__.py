@@ -23,6 +23,7 @@ from .mixing import (
 from .reshape import Split, Merge, Squeeze
 from .periodic import PeriodicWrap, PeriodicShift
 from .affine.autoregressive import Autoregressive, MaskedAffineAutoregressive
+from .affine.glow import GlowBlock
 from .neural_spline import (
     PiecewiseRationalQuadraticCoupling,
     PiecewiseRationalQuadraticCDF,
@@ -59,6 +60,7 @@ __all__ = [
     "PeriodicShift",
     "Autoregressive",
     "MaskedAffineAutoregressive",
+    "GlowBlock",
     "PiecewiseRationalQuadraticCoupling",
     "PiecewiseRationalQuadraticCDF",
     "MaskedPiecewiseRationalQuadraticAutoregressive",

@@ -36,9 +36,12 @@ class Split(Flow):
 
     def forward(self, z, context=None, *, key=None):
         if self.mode == "channel":
-            z1, z2 = jnp.split(z, 2, axis=1)
+            # torch chunk(2): first chunk gets ceil(C/2)
+            c = z.shape[1]
+            z1, z2 = z[:, : (c + 1) // 2], z[:, (c + 1) // 2 :]
         elif self.mode == "channel_inv":
-            z2, z1 = jnp.split(z, 2, axis=1)
+            c = z.shape[1]
+            z2, z1 = z[:, : (c + 1) // 2], z[:, (c + 1) // 2 :]
         elif "checkerboard" in self.mode:
             # Reference parity recursion (reshape.py:36-44): cb0 at index
             # (i_1,...,i_{n-1}) equals sum(indices) % 2, and z1 takes the

@@ -1,6 +1,7 @@
 """Utilities (reference: normflows/utils/__init__.py:1-17)."""
 
-from . import masks, nn
+from . import masks, nn, eval, preprocessing
+from .eval import bits_per_dim, bits_per_dim_dataset, bitsPerDim, bitsPerDimDataset
 from .nn import (
     ConstScaleLayer,
     ClampExp,

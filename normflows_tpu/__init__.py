@@ -6,7 +6,18 @@ reference's package root (reference normflows/__init__.py:4-12) so users can
 translate code 1:1, but all models are pure-functional pytrees.
 """
 
-from . import core, flows, distributions, nets, utils, transforms, ops
+from . import (
+    core,
+    flows,
+    distributions,
+    nets,
+    utils,
+    transforms,
+    ops,
+    sampling,
+    parallel,
+    training,
+)
 from .core.module import (
     Module,
     static_field,

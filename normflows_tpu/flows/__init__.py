@@ -24,6 +24,8 @@ from .reshape import Split, Merge, Squeeze
 from .periodic import PeriodicWrap, PeriodicShift
 from .affine.autoregressive import Autoregressive, MaskedAffineAutoregressive
 from .affine.glow import GlowBlock
+from .residual import Residual, iResBlock
+from .stochastic import MetropolisHastings, HamiltonianMonteCarlo
 from .neural_spline import (
     PiecewiseRationalQuadraticCoupling,
     PiecewiseRationalQuadraticCDF,
@@ -61,6 +63,10 @@ __all__ = [
     "Autoregressive",
     "MaskedAffineAutoregressive",
     "GlowBlock",
+    "Residual",
+    "iResBlock",
+    "MetropolisHastings",
+    "HamiltonianMonteCarlo",
     "PiecewiseRationalQuadraticCoupling",
     "PiecewiseRationalQuadraticCDF",
     "MaskedPiecewiseRationalQuadraticAutoregressive",

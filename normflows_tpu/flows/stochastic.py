@@ -1,0 +1,116 @@
+"""Stochastic (MCMC) flow layers for SNF (reference: normflows/flows/stochastic.py).
+
+TPU-first changes: the per-step Python loops (stochastic.py:31-44, 82-85)
+become ``lax.scan`` bodies over explicitly-split PRNG keys; all chains advance
+in lockstep on the batch axis (vmap/shard-ready).  ``gradlogP`` is plain
+``jax.grad`` of the target log-density — gradients flow through the leapfrog
+w.r.t. the learnable ``log_step_size``/``log_mass`` exactly as in the
+reference, and the accept/reject select passes gradients only through the
+chosen branch (``jnp.where`` semantics, matching torch.where).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.module import Module, static_field
+from ..core.flow import Flow, sum_except_batch
+
+
+class MetropolisHastings(Flow):
+    """MH as a flow layer (stochastic.py:6-49); log_det = log p(z) - log p(z')."""
+
+    target: Module
+    proposal: Module
+    steps: int = static_field(default=1)
+
+    def forward(self, z, context=None, *, key=None):
+        if key is None:
+            key = jax.random.key(0)
+        log_p = self.target.log_prob(z)
+        log_det = jnp.zeros(z.shape[0], z.dtype)
+
+        def body(carry, step_key):
+            z, log_p, log_det = carry
+            kp, ka = jax.random.split(step_key)
+            z_, log_p_diff = self.proposal(z, kp)
+            log_p_ = self.target.log_prob(z_)
+            w = jax.random.uniform(ka, (z.shape[0],), z.dtype)
+            w_accept = jnp.minimum(jnp.exp(log_p_ - log_p + log_p_diff), 1.0)
+            accept = w <= w_accept
+            accept_b = accept.reshape(-1, *([1] * (z.ndim - 1)))
+            z_new = jnp.where(accept_b, z_, z)
+            log_det_new = jnp.where(accept, log_det + log_p - log_p_, log_det)
+            log_p_new = jnp.where(accept, log_p_, log_p)
+            return (z_new, log_p_new, log_det_new), None
+
+        keys = jax.random.split(key, self.steps)
+        (z, _, log_det), _ = jax.lax.scan(body, (z, log_p, log_det), keys)
+        return z, log_det
+
+    def inverse(self, z, context=None, *, key=None):
+        return self.forward(z, context, key=key)
+
+
+class HamiltonianMonteCarlo(Flow):
+    """HMC flow layer with learnable step size and mass (stochastic.py:52-109)."""
+
+    target: Module
+    log_step_size: jnp.ndarray
+    log_mass: jnp.ndarray
+    steps: int = static_field(default=1)
+    max_abs_grad: Optional[float] = static_field(default=None)
+
+    @classmethod
+    def create(cls, target, steps, log_step_size, log_mass, max_abs_grad=None):
+        return cls(
+            target=target,
+            log_step_size=jnp.asarray(log_step_size, jnp.float32),
+            log_mass=jnp.asarray(log_mass, jnp.float32),
+            steps=steps,
+            max_abs_grad=max_abs_grad,
+        )
+
+    def grad_log_p(self, z):
+        """stochastic.py:103-109 with optional gradient clipping."""
+        grad = jax.grad(lambda z_: jnp.sum(self.target.log_prob(z_)))(z)
+        if self.max_abs_grad is not None:
+            grad = jnp.clip(grad, -self.max_abs_grad, self.max_abs_grad)
+        return grad
+
+    def forward(self, z, context=None, *, key=None):
+        if key is None:
+            key = jax.random.key(0)
+        kp, ka = jax.random.split(key)
+        p = jax.random.normal(kp, z.shape, z.dtype) * jnp.exp(0.5 * self.log_mass)
+
+        step_size = jnp.exp(self.log_step_size)
+        mass = jnp.exp(self.log_mass)
+
+        def leapfrog(carry, _):
+            z_new, p_new = carry
+            p_half = p_new + (step_size / 2.0) * self.grad_log_p(z_new)
+            z_new = z_new + step_size * (p_half / mass)
+            p_new = p_half + (step_size / 2.0) * self.grad_log_p(z_new)
+            return (z_new, p_new), None
+
+        (z_new, p_new), _ = jax.lax.scan(leapfrog, (z, p), None, length=self.steps)
+
+        # MH correction (stochastic.py:88-96)
+        log_accept = (
+            self.target.log_prob(z_new)
+            - self.target.log_prob(z)
+            - 0.5 * sum_except_batch(p_new**2 / mass)
+            + 0.5 * sum_except_batch(p**2 / mass)
+        )
+        u = jax.random.uniform(ka, (z.shape[0],), z.dtype)
+        accept = u < jnp.exp(log_accept)
+        accept_b = accept.reshape(-1, *([1] * (z.ndim - 1)))
+        z_out = jnp.where(accept_b, z_new, z)
+        return z_out, self.target.log_prob(z) - self.target.log_prob(z_out)
+
+    def inverse(self, z, context=None, *, key=None):
+        return self.forward(z, context, key=key)

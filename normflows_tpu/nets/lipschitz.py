@@ -1,0 +1,252 @@
+"""Lipschitz-constrained networks via spectral normalization
+(reference: normflows/nets/lipschitz.py, from rtqichen/residual-flows).
+
+TPU-first re-design notes:
+  * Only the 2-norm domain/codomain case is implemented — it is the only case
+    the reference's public nets (`LipschitzMLP`/`LipschitzCNN`, lipschitz.py:
+    14-129) instantiate.  Power iteration is a pure function returning an
+    updated module (u/v/scale are buffers), mirroring the reference's
+    train-loop `update_lipschitz` (utils/optim.py:28-31) rather than hidden
+    in-forward mutation.
+  * The conv power iteration runs through `lax.conv` / `conv_transpose`
+    (lipschitz.py:553-610); spatial dims are fixed at construction instead of
+    lazily on first forward (lipschitz.py:612-616) — static shapes for XLA.
+  * ``sigma = u . (W v)`` keeps the soft-normalization factor differentiable
+    w.r.t. the raw weight (lipschitz.py:267-269).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.module import Module, static_field, buffer_field
+
+
+class Swish(Module):
+    """x * sigmoid(softplus(beta) * x) / 1.1 with learnable beta (lipschitz.py:642-647)."""
+
+    beta: jnp.ndarray
+
+    @classmethod
+    def create(cls):
+        return cls(beta=jnp.array([0.5]))
+
+    def __call__(self, x):
+        return x * jax.nn.sigmoid(x * jax.nn.softplus(self.beta)) / 1.1
+
+
+def _normalize(x, eps=1e-12):
+    return x / jnp.maximum(jnp.linalg.norm(x), eps)
+
+
+class InducedNormLinear(Module):
+    """Spectral-norm-constrained linear layer (lipschitz.py:132-292), p=2."""
+
+    weight: jnp.ndarray  # (out, in) to match torch layout
+    bias: Optional[jnp.ndarray]
+    u: jnp.ndarray = buffer_field()
+    v: jnp.ndarray = buffer_field()
+    scale: jnp.ndarray = buffer_field()
+    coeff: float = static_field(default=0.97)
+    n_iterations: int = static_field(default=5)
+
+    @classmethod
+    def create(cls, key, in_features, out_features, bias=True, coeff=0.97,
+               n_iterations=5, zero_init=False):
+        kw, ku, kv = jax.random.split(key, 3)
+        if zero_init:
+            w = 1e-5 * jax.random.normal(kw, (out_features, in_features))
+        else:
+            # Kaiming-style init as in the reference's reset_parameters
+            w = jax.random.normal(kw, (out_features, in_features)) * np.sqrt(
+                1.0 / in_features
+            )
+        b = jnp.zeros(out_features) if bias else None
+        u = _normalize(jax.random.normal(ku, (out_features,)))
+        v = _normalize(jax.random.normal(kv, (in_features,)))
+        self_ = cls(
+            weight=w, bias=b, u=u, v=v, scale=jnp.zeros(()), coeff=coeff,
+            n_iterations=n_iterations,
+        )
+        return self_.update_power_iteration(n_iterations=50)
+
+    def update_power_iteration(self, n_iterations=None) -> "InducedNormLinear":
+        """Run power iteration; returns updated module (lipschitz.py:223-270)."""
+        n = self.n_iterations if n_iterations is None else n_iterations
+        w = jax.lax.stop_gradient(self.weight)
+
+        def body(_, uv):
+            u, v = uv
+            u = _normalize(w @ v)
+            v = _normalize(w.T @ u)
+            return u, v
+
+        u, v = jax.lax.fori_loop(0, n, body, (self.u, self.v))
+        sigma = u @ (w @ v)
+        return self.replace(u=u, v=v, scale=sigma)
+
+    def _scaled_weight(self):
+        sigma = self.u @ (self.weight @ self.v)
+        factor = jnp.maximum(1.0, sigma / self.coeff)
+        return self.weight / factor
+
+    def __call__(self, x):
+        y = x @ self._scaled_weight().T
+        if self.bias is not None:
+            y = y + self.bias
+        return y
+
+
+class InducedNormConv2d(Module):
+    """Spectral-norm-constrained conv layer (lipschitz.py:295-639), p=2.
+
+    Power iteration maps u (output feature map) and v (input feature map)
+    through conv / conv-transpose; requires static spatial dims.
+    """
+
+    weight: jnp.ndarray  # (out, in, kh, kw)
+    bias: Optional[jnp.ndarray]
+    u: jnp.ndarray = buffer_field()  # flattened output map
+    v: jnp.ndarray = buffer_field()  # flattened input map
+    scale: jnp.ndarray = buffer_field()
+    in_shape: tuple = static_field()  # (c_in, h, w)
+    out_shape: tuple = static_field()
+    padding: int = static_field(default=1)
+    coeff: float = static_field(default=0.97)
+    n_iterations: int = static_field(default=5)
+
+    @classmethod
+    def create(cls, key, in_channels, out_channels, kernel_size, spatial_dims,
+               bias=True, coeff=0.97, n_iterations=5, zero_init=False):
+        kw, ku, kv = jax.random.split(key, 3)
+        k = kernel_size
+        h, w_ = spatial_dims
+        fan_in = in_channels * k * k
+        if zero_init:
+            w = 1e-5 * jax.random.normal(kw, (out_channels, in_channels, k, k))
+        else:
+            w = jax.random.normal(kw, (out_channels, in_channels, k, k)) * np.sqrt(
+                1.0 / fan_in
+            )
+        b = jnp.zeros(out_channels) if bias else None
+        u = _normalize(jax.random.normal(ku, (out_channels * h * w_,)))
+        v = _normalize(jax.random.normal(kv, (in_channels * h * w_,)))
+        self_ = cls(
+            weight=w, bias=b, u=u, v=v, scale=jnp.zeros(()),
+            in_shape=(in_channels, h, w_), out_shape=(out_channels, h, w_),
+            padding=k // 2, coeff=coeff, n_iterations=n_iterations,
+        )
+        return self_.update_power_iteration(n_iterations=50)
+
+    def _conv(self, v_map, w):
+        return jax.lax.conv_general_dilated(
+            v_map[None], w, (1, 1), [(self.padding, self.padding)] * 2,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )[0]
+
+    def _conv_t(self, u_map, w):
+        # gradient of conv wrt input == conv_transpose with same kernel
+        _, vjp = jax.vjp(lambda v: self._conv(v, w), jnp.zeros(self.in_shape))
+        return vjp(u_map)[0]
+
+    def update_power_iteration(self, n_iterations=None) -> "InducedNormConv2d":
+        n = self.n_iterations if n_iterations is None else n_iterations
+        w = jax.lax.stop_gradient(self.weight)
+
+        def body(_, uv):
+            u, v = uv
+            u_map = self._conv(v.reshape(self.in_shape), w)
+            u = _normalize(u_map.reshape(-1))
+            v_map = self._conv_t(u.reshape(self.out_shape), w)
+            v = _normalize(v_map.reshape(-1))
+            return u, v
+
+        u, v = jax.lax.fori_loop(0, n, body, (self.u, self.v))
+        sigma = u @ self._conv(v.reshape(self.in_shape), w).reshape(-1)
+        return self.replace(u=u, v=v, scale=sigma)
+
+    def _scaled_weight(self):
+        sigma = self.u @ self._conv(
+            self.v.reshape(self.in_shape), self.weight
+        ).reshape(-1)
+        factor = jnp.maximum(1.0, sigma / self.coeff)
+        return self.weight / factor
+
+    def __call__(self, x):
+        w = self._scaled_weight()
+        y = jax.lax.conv_general_dilated(
+            x, w, (1, 1), [(self.padding, self.padding)] * 2,
+            dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        )
+        if self.bias is not None:
+            y = y + self.bias[None, :, None, None]
+        return y
+
+
+class LipschitzMLP(Module):
+    """Swish + InducedNormLinear stack with L < 1 (lipschitz.py:14-66)."""
+
+    layers: tuple
+
+    @classmethod
+    def create(cls, key, channels, lipschitz_const=0.97, max_lipschitz_iter=5,
+               init_zeros=True):
+        n_layers = len(channels) - 1
+        keys = jax.random.split(key, n_layers)
+        layers = []
+        for i in range(n_layers):
+            layers.append(Swish.create())
+            layers.append(
+                InducedNormLinear.create(
+                    keys[i], channels[i], channels[i + 1], coeff=lipschitz_const,
+                    n_iterations=max_lipschitz_iter,
+                    zero_init=init_zeros and i == n_layers - 1,
+                )
+            )
+        return cls(layers=tuple(layers))
+
+    def __call__(self, x):
+        for layer in self.layers:
+            x = layer(x)
+        return x
+
+
+class LipschitzCNN(Module):
+    """Swish + InducedNormConv2d stack with L < 1 (lipschitz.py:69-129)."""
+
+    layers: tuple
+
+    @classmethod
+    def create(cls, key, channels, kernel_size, spatial_dims, lipschitz_const=0.97,
+               max_lipschitz_iter=5, init_zeros=True):
+        n_layers = len(kernel_size)
+        keys = jax.random.split(key, n_layers)
+        layers = []
+        for i in range(n_layers):
+            layers.append(Swish.create())
+            layers.append(
+                InducedNormConv2d.create(
+                    keys[i], channels[i], channels[i + 1], kernel_size[i],
+                    spatial_dims, coeff=lipschitz_const,
+                    n_iterations=max_lipschitz_iter,
+                    zero_init=init_zeros and i == n_layers - 1,
+                )
+            )
+        return cls(layers=tuple(layers))
+
+    def __call__(self, x):
+        for layer in self.layers:
+            x = layer(x)
+        return x
+
+
+def leaky_elu(x, a=0.3):
+    return a * x + (1 - a) * jax.nn.elu(x)
+
+
+def asym_squash(x):
+    return jnp.tanh(-leaky_elu(-x + 0.5493061829986572)) * 2 + 3

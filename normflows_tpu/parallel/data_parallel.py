@@ -1,0 +1,71 @@
+"""Data-parallel training steps.
+
+Replaces the reference notebooks' single-device ``loss.backward()`` loops
+(SURVEY.md §2.7) with one jitted step: batch sharded over the ``data`` mesh
+axis, parameters replicated, gradient allreduce inserted by XLA (riding ICI).
+No explicit collectives are written — sharding annotations + jit are the
+TPU-native NCCL.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.module import partition, combine
+from .mesh import replicate, shard_batch
+
+
+def make_data_parallel_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    loss_fn: Callable,
+    mesh: Mesh,
+    donate: bool = True,
+):
+    """Build (step_fn, diff, rest, opt_state) for data-parallel training.
+
+    ``loss_fn(model, batch, key) -> scalar``.  Returns a jitted
+    ``step_fn(diff, opt_state, batch, key) -> (diff, opt_state, loss)`` with
+    parameters replicated and ``batch`` sharded on its leading axis.
+    Shard batches with ``shard_batch(x, mesh)`` before passing them in.
+    """
+    diff, rest = partition(model)
+    diff = replicate(diff, mesh)
+    rest = replicate(rest, mesh)
+    opt_state = replicate(optimizer.init(diff), mesh)
+
+    repl = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1) if donate else (),
+    )
+    def step_fn(diff, opt_state, batch, key):
+        def _loss(d):
+            return loss_fn(combine(d, rest), batch, key)
+
+        loss, grads = jax.value_and_grad(_loss)(diff)
+        updates, new_opt_state = optimizer.update(grads, opt_state, diff)
+        new_diff = optax.apply_updates(diff, updates)
+        return new_diff, new_opt_state, loss
+
+    return step_fn, diff, rest, opt_state
+
+
+def make_eval_step(model, eval_fn: Callable, mesh: Mesh):
+    """Jitted data-parallel evaluation: ``eval_fn(model, batch) -> per-batch``."""
+    diff, rest = partition(model)
+    diff = replicate(diff, mesh)
+    rest = replicate(rest, mesh)
+
+    @jax.jit
+    def step_fn(diff, batch):
+        return eval_fn(combine(diff, rest), batch)
+
+    return step_fn, diff, rest

@@ -1,0 +1,54 @@
+"""Multi-host execution helpers.
+
+ICI within a slice, DCN across hosts; ``jax.distributed.initialize`` wires the
+processes, after which the global mesh spans every chip and the sharded train
+steps in data_parallel.py work unchanged — XLA routes the gradient allreduce
+hierarchically (intra-slice ICI, inter-slice DCN).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+):
+    """Initialize multi-host JAX.  No-ops on single-process setups.
+
+    On TPU pods the arguments are auto-detected from the environment; pass
+    them explicitly for CPU/GPU clusters.
+    """
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        if coordinator_address is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes,
+                process_id=process_id,
+            )
+    except (ValueError, RuntimeError):
+        # single-process environment (e.g. local CPU testing)
+        pass
+
+
+def process_local_batch(global_batch_size: int) -> int:
+    """Per-host batch size: each host loads only its shard of the data."""
+    n = jax.process_count()
+    if global_batch_size % n != 0:
+        raise ValueError(
+            f"global batch {global_batch_size} not divisible by {n} processes"
+        )
+    return global_batch_size // n
+
+
+def local_device_batch(global_batch_size: int) -> int:
+    """Per-device batch size on this host."""
+    return process_local_batch(global_batch_size) // jax.local_device_count()

@@ -1,7 +1,8 @@
 """Utilities (reference: normflows/utils/__init__.py:1-17)."""
 
-from . import masks, nn, eval, preprocessing
+from . import masks, nn, eval, preprocessing, optim
 from .eval import bits_per_dim, bits_per_dim_dataset, bitsPerDim, bitsPerDimDataset
+from .optim import update_lipschitz
 from .nn import (
     ConstScaleLayer,
     ClampExp,

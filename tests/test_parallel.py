@@ -1,0 +1,131 @@
+"""Multi-device sharding tests on the 8-virtual-device CPU mesh (conftest
+forces XLA_FLAGS=--xla_force_host_platform_device_count=8).
+
+The reference has no distributed tier (SURVEY.md §2.7); these tests pin down
+the new TPU-native behavior: sharded batches produce bitwise-identical losses
+to single-device execution, and the chain axis shards cleanly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+import normflows_tpu as nft
+from normflows_tpu import flows, distributions, parallel
+from normflows_tpu.nets import MLP
+from tests.helpers import assert_close
+
+
+def build_model(K=4, key=None):
+    key = key if key is not None else jax.random.key(0)
+    b = jnp.array([1.0, 0.0])
+    layers = []
+    for i in range(K):
+        k1, k2, key = jax.random.split(key, 3)
+        s = MLP.create(k1, [2, 32, 2], init_zeros=True)
+        t = MLP.create(k2, [2, 32, 2], init_zeros=True)
+        layers.append(flows.MaskedAffineFlow.create(b if i % 2 == 0 else 1 - b, t=t, s=s))
+    return nft.NormalizingFlow.create(
+        distributions.DiagGaussian.create(2), layers, p=distributions.TwoMoons()
+    )
+
+
+class TestMesh:
+    def test_make_mesh_default(self):
+        mesh = parallel.make_mesh()
+        assert mesh.devices.size == 8
+        assert mesh.axis_names == ("data",)
+
+    def test_make_mesh_2d(self):
+        mesh = parallel.make_mesh({"data": 4, "chain": -1})
+        assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {
+            "data": 4, "chain": 2,
+        }
+
+    def test_shard_batch(self):
+        mesh = parallel.make_mesh()
+        x = jnp.zeros((16, 2))
+        xs = parallel.shard_batch(x, mesh)
+        assert len(xs.sharding.device_set) == 8
+
+
+class TestDataParallel:
+    def test_sharded_loss_matches_single_device(self):
+        model = build_model()
+        mesh = parallel.make_mesh()
+        x = distributions.TwoMoons().sample(jax.random.key(1), 64)
+
+        loss_single = float(model.forward_kld(x))
+        xs = parallel.shard_batch(x, mesh)
+        loss_sharded = float(jax.jit(lambda m, x: m.forward_kld(x))(model, xs))
+        assert_close(loss_sharded, loss_single, atol=1e-5, rtol=1e-5)
+
+    def test_train_step_runs_and_improves(self):
+        model = build_model()
+        mesh = parallel.make_mesh()
+        opt = optax.adam(5e-3)
+
+        step_fn, diff, rest, opt_state = parallel.make_data_parallel_step(
+            model, opt, lambda m, x, key: m.forward_kld(x), mesh
+        )
+        x_all = distributions.TwoMoons().sample(jax.random.key(2), 1024)
+        losses = []
+        for i in range(30):
+            x = parallel.shard_batch(
+                x_all[(i * 256) % 1024 : (i * 256) % 1024 + 256], mesh
+            )
+            diff, opt_state, loss = step_fn(diff, opt_state, x, jax.random.key(i))
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]
+        # params stay replicated
+        leaf = jax.tree.leaves(diff)[0]
+        assert len(leaf.sharding.device_set) == 8
+
+    def test_sharded_equals_unsharded_gradients(self):
+        model = build_model()
+        mesh = parallel.make_mesh()
+        x = distributions.TwoMoons().sample(jax.random.key(3), 64)
+        diff, rest = nft.partition(model)
+
+        g1 = jax.grad(lambda d: nft.combine(d, rest).forward_kld(x))(diff)
+        xs = parallel.shard_batch(x, mesh)
+        g2 = jax.jit(
+            lambda d, x: jax.grad(
+                lambda dd: nft.combine(dd, rest).forward_kld(x)
+            )(d)
+        )(diff, xs)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            assert_close(a, b, atol=1e-5, rtol=1e-4)
+
+
+class TestChainParallel:
+    def test_hais_sharded(self):
+        from normflows_tpu.sampling import HAIS
+
+        prior = distributions.DiagGaussian.create(2)
+        target = distributions.DiagGaussian.create(2).replace(
+            loc=jnp.full((1, 2), 1.0)
+        )
+        betas = np.linspace(1.0, 0.0, 6)
+        hais = HAIS.create(betas, prior, target, num_leapfrog=3,
+                           step_size=jnp.full(2, 0.3), log_mass=jnp.zeros(2))
+        mesh = parallel.make_mesh()
+        run = parallel.parallel_chain_sample(hais, mesh, 512)
+        samples, log_w = run(jax.random.key(4))
+        assert samples.shape == (512, 2)
+        assert len(samples.sharding.device_set) == 8
+        w = jax.nn.softmax(log_w)
+        mean_est = jnp.sum(w[:, None] * samples, axis=0)
+        assert_close(mean_est, jnp.ones(2), atol=0.3, rtol=0.3)
+
+    def test_reverse_kld_sharded_sampling(self):
+        model = build_model()
+        mesh = parallel.make_mesh()
+
+        @jax.jit
+        def loss(m, key):
+            return m.reverse_kld(key, 256)
+
+        val = loss(parallel.replicate(model, mesh), jax.random.key(5))
+        assert jnp.isfinite(val)

@@ -1,0 +1,176 @@
+"""Residual flow tests (cf. reference flows/residual_test.py:15-36 sweeps and
+nets/lipschitz semantics)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import normflows_tpu as nft
+from normflows_tpu import flows
+from normflows_tpu.nets import LipschitzMLP, LipschitzCNN, InducedNormLinear
+from normflows_tpu.utils import update_lipschitz
+from tests.helpers import assert_close
+
+KEY = jax.random.key(3)
+
+
+class TestLipschitzNets:
+    def test_induced_norm_linear_contraction(self):
+        lin = InducedNormLinear.create(KEY, 8, 8, coeff=0.9)
+        # spectral norm of the effective weight must be <= ~0.9
+        w = lin._scaled_weight()
+        sv = jnp.linalg.svd(w, compute_uv=False)[0]
+        assert float(sv) < 0.95
+
+    def test_mlp_is_contractive(self):
+        net = LipschitzMLP.create(KEY, [2, 32, 32, 2], lipschitz_const=0.9,
+                                  init_zeros=False)
+        net = update_lipschitz(net, 100)
+        x = jax.random.normal(jax.random.key(1), (64, 2))
+        y = jax.random.normal(jax.random.key(2), (64, 2))
+        lhs = jnp.linalg.norm(net(x) - net(y), axis=1)
+        rhs = jnp.linalg.norm(x - y, axis=1)
+        assert float(jnp.max(lhs / rhs)) < 1.0
+
+    def test_cnn_runs(self):
+        net = LipschitzCNN.create(KEY, [2, 8, 2], [3, 3], spatial_dims=(4, 4),
+                                  lipschitz_const=0.9)
+        x = jax.random.normal(jax.random.key(1), (2, 2, 4, 4))
+        assert net(x).shape == (2, 2, 4, 4)
+
+    def test_update_lipschitz_after_weight_change(self):
+        net = LipschitzMLP.create(KEY, [2, 16, 2], lipschitz_const=0.9,
+                                  init_zeros=False)
+        # blow up a weight, then re-normalize
+        layer = net.layers[1]
+        net = net.replace(
+            layers=tuple(
+                l.replace(weight=l.weight * 10.0) if i == 1 else l
+                for i, l in enumerate(net.layers)
+            )
+        )
+        net = update_lipschitz(net, 200)
+        w = net.layers[1]._scaled_weight()
+        sv = jnp.linalg.svd(w, compute_uv=False)[0]
+        assert float(sv) < 1.0
+
+
+def make_residual(key=KEY, **kwargs):
+    net = LipschitzMLP.create(key, [2, 32, 32, 2], lipschitz_const=0.9,
+                              init_zeros=True)
+    return flows.Residual.create(net, **kwargs)
+
+
+class TestResidualFlow:
+    @pytest.mark.parametrize(
+        "kwargs",
+        [
+            dict(reduce_memory=False),
+            dict(reduce_memory=True),
+            dict(exact_trace=True, reduce_memory=False),
+            dict(brute_force=True, reduce_memory=False),
+            dict(n_dist="poisson", reduce_memory=False),
+            dict(n_power_series=8, reduce_memory=False),
+        ],
+    )
+    def test_roundtrip(self, kwargs):
+        flow = make_residual(**kwargs)
+        z = jax.random.normal(jax.random.key(5), (16, 2))
+        out, ld_inv = flow.inverse(z, key=jax.random.key(6))
+        rec, ld_fwd = flow.forward(out, key=jax.random.key(6))
+        assert_close(rec, z, atol=1e-4, rtol=1e-3)
+        # log-det antisymmetry holds exactly only for deterministic estimators
+        if kwargs.get("brute_force") or kwargs.get("exact_trace"):
+            assert_close(ld_inv + ld_fwd, jnp.zeros(16), atol=1e-3, rtol=1e-3)
+
+    def test_logdet_matches_bruteforce(self):
+        """Hutchinson estimator (eval mode falls back to brute force in 2D) vs
+        exact trace: expectations agree; here compare exact paths."""
+        net = LipschitzMLP.create(KEY, [2, 32, 32, 2], lipschitz_const=0.9,
+                                  init_zeros=False)
+        f_exact = flows.Residual.create(net, brute_force=True, reduce_memory=False)
+        f_trace = flows.Residual.create(net, exact_trace=True, reduce_memory=False,
+                                        n_power_series=16)
+        z = 0.5 * jax.random.normal(jax.random.key(7), (8, 2))
+        _, ld1 = f_exact.inverse(z)
+        _, ld2 = f_trace.inverse(z)
+        assert_close(ld1, ld2, atol=1e-3, rtol=1e-3)
+
+    def test_hutchinson_unbiasedness(self):
+        """Mean of stochastic log-det over many keys ~ brute force value."""
+        net = LipschitzMLP.create(KEY, [2, 16, 2], lipschitz_const=0.9,
+                                  init_zeros=False)
+        block = flows.iResBlock.create(net, neumann_grad=False,
+                                       grad_in_forward=False)
+        z = 0.3 * jax.random.normal(jax.random.key(8), (4, 2))
+        _, ld_exact = block.replace(train=False)._logdetgrad(z, jax.random.key(0))
+
+        lds = []
+        ld_fn = jax.jit(lambda k: block._logdetgrad(z, k)[1])
+        for i in range(200):
+            lds.append(ld_fn(jax.random.key(i)))
+        mean_ld = jnp.mean(jnp.stack(lds), axis=0)
+        assert_close(mean_ld, ld_exact, atol=0.05, rtol=0.1)
+
+    def test_gradients_finite(self):
+        flow = make_residual(reduce_memory=True)
+        z = jax.random.normal(jax.random.key(9), (8, 2))
+
+        def loss(diff, rest):
+            m = nft.combine(diff, rest)
+            out, ld = m.inverse(z, key=jax.random.key(1))
+            return jnp.sum(out**2) - jnp.sum(ld)
+
+        diff, rest = nft.partition(flow)
+        g = jax.grad(loss)(diff, rest)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in jax.tree.leaves(g))
+
+    def test_training_two_moons(self):
+        """Mini residual.ipynb: K residual blocks + ActNorm, forward KLD."""
+        import optax
+        from normflows_tpu import distributions
+
+        K = 4
+        layers = []
+        for i in range(K):
+            net = LipschitzMLP.create(jax.random.key(i), [2, 64, 64, 2],
+                                      lipschitz_const=0.9, init_zeros=True)
+            layers.append(flows.Residual.create(net, reduce_memory=True))
+            layers.append(flows.ActNorm.create((2,)))
+        model = nft.NormalizingFlow.create(
+            distributions.DiagGaussian.create(2), layers,
+            p=distributions.TwoMoons(),
+        )
+        x_all = model.p.sample(jax.random.key(100), 1024)
+        model = model.init_actnorm(x_all[:256])
+
+        opt = optax.adam(3e-3)
+        diff, rest = nft.partition(model)
+        state = opt.init(diff)
+
+        @jax.jit
+        def step(diff, rest, state, x, key):
+            def loss_fn(d):
+                return nft.combine(d, rest).forward_kld(x, key=key)
+
+            loss, grads = jax.value_and_grad(loss_fn)(diff)
+            updates, state = opt.update(grads, state, diff)
+            diff = optax.apply_updates(diff, updates)
+            return diff, state, loss
+
+        @jax.jit
+        def lipschitz_step(diff, rest):
+            m = update_lipschitz(nft.combine(diff, rest), 5)
+            return nft.partition(m)
+
+        key = jax.random.key(11)
+        losses = []
+        for i in range(30):
+            key, sub = jax.random.split(key)
+            x = x_all[(i * 256) % 1024 : (i * 256) % 1024 + 256]
+            diff, state, loss = step(diff, rest, state, x, sub)
+            diff, rest = lipschitz_step(diff, rest)
+            losses.append(float(loss))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0]

@@ -1,0 +1,87 @@
+"""Headline benchmark: NSF-cylinder reverse-KLD training throughput.
+
+Exact reference config (examples/paper_example_nsf.ipynb; BASELINE.md row 2):
+K=12 circular autoregressive RQ-spline layers (hidden 512, 10 bins,
+tail_bound [5, pi]), UniformGaussian base, GaussianVonMises target, Adam 5e-4,
+2^14 samples per iteration.  Metric: samples/sec through the full jitted
+training step (sample + reverse-KLD loss + grad + optimizer update) on one
+chip.  ``vs_baseline`` = ratio vs the reference torch implementation measured
+in this container (BASELINE_MEASURED.json; the reference publishes no
+numbers of its own).
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+import normflows_tpu as nf
+from normflows_tpu import flows, distributions
+
+BASELINE_SAMPLES_PER_SEC = 535.2  # see BASELINE_MEASURED.json
+
+
+def build_model():
+    base = distributions.UniformGaussian.create(2, [1], jnp.array([1.0, 2 * np.pi]))
+    layers = [
+        flows.CircularAutoregressiveRationalQuadraticSpline.create(
+            jax.random.key(i), 2, 1, 512, ind_circ=[1], num_bins=10,
+            tail_bound=jnp.array([5.0, np.pi]), permute_mask=True, rng_seed=i,
+        )
+        for i in range(12)
+    ]
+    return nf.NormalizingFlow.create(
+        base, layers, p=distributions.GaussianVonMises()
+    )
+
+
+def main():
+    model = build_model()
+    opt = optax.adam(5e-4)
+    diff, rest = nf.partition(model)
+    opt_state = opt.init(diff)
+    num_samples = 2**14
+
+    @jax.jit
+    def step(diff, opt_state, key):
+        loss, grads = jax.value_and_grad(
+            lambda d: nf.combine(d, rest).reverse_kld(key, num_samples)
+        )(diff)
+        updates, opt_state = opt.update(grads, opt_state, diff)
+        return optax.apply_updates(diff, updates), opt_state, loss
+
+    key = jax.random.key(0)
+    # compile + warmup
+    for _ in range(2):
+        key, sub = jax.random.split(key)
+        diff, opt_state, loss = step(diff, opt_state, sub)
+    jax.block_until_ready(loss)
+
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        diff, opt_state, loss = step(diff, opt_state, sub)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / iters
+
+    samples_per_sec = num_samples / dt
+    print(
+        json.dumps(
+            {
+                "metric": "nsf_cylinder_reverse_kld_train_samples_per_sec",
+                "value": round(samples_per_sec, 1),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -43,6 +43,7 @@ class MaskedLinear(Module):
     bias: Optional[jnp.ndarray]
     mask: jnp.ndarray = buffer_field()  # (in, out)
     degrees: jnp.ndarray = buffer_field()  # (out,)
+    compute_dtype: Optional[str] = static_field(default=None)
 
     @classmethod
     def create(
@@ -86,10 +87,21 @@ class MaskedLinear(Module):
         return np.asarray(self.degrees)
 
     def __call__(self, x):
-        y = x @ (self.weight * self.mask)
+        w = self.weight * self.mask
+        if self.compute_dtype is not None:
+            # bf16 matmul on the MXU with f32 accumulation; params stay f32
+            dt = jnp.dtype(self.compute_dtype)
+            y = jnp.dot(
+                x.astype(dt), w.astype(dt), preferred_element_type=jnp.float32
+            )
+        else:
+            y = x @ w
         if self.bias is not None:
             y = y + self.bias
-        return y
+        return y.astype(x.dtype)
+
+    def with_compute_dtype(self, dtype):
+        return self.replace(compute_dtype=dtype)
 
 
 def _act(name, x):

@@ -3,6 +3,7 @@
 from . import masks, nn, eval, preprocessing, optim
 from .eval import bits_per_dim, bits_per_dim_dataset, bitsPerDim, bitsPerDimDataset
 from .optim import update_lipschitz
+from .precision import set_compute_dtype
 from .nn import (
     ConstScaleLayer,
     ClampExp,

@@ -36,5 +36,6 @@ from .core.facades import (
     save_model,
     load_model,
 )
+from .sampling import HAIS
 
 __version__ = "0.1.0"

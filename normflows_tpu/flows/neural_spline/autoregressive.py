@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ...core.module import static_field, buffer_field
 from ...core.flow import sum_except_batch
-from ...ops import splines
+from ...ops import splines, backend
 from ...nets.made import MADE
 from ...utils.nn import PeriodicFeaturesElementwise
 from ..affine.autoregressive import Autoregressive
@@ -25,8 +25,8 @@ from ..affine.autoregressive import Autoregressive
 class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
     """MADE-parameterized RQ-spline AR transform (autoregressive.py:17-134)."""
 
-    tail_codes: Optional[jnp.ndarray] = buffer_field(default=None)
-    tail_bound: jnp.ndarray = buffer_field(default=None)
+    tail_codes: Optional[tuple] = static_field(default=None)
+    tail_bound: Optional[tuple] = static_field(default=None)
     features: int = static_field(default=2)
     num_bins: int = static_field(default=10)
     constrained: bool = static_field(default=False)
@@ -108,8 +108,8 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
         )
         return cls(
             autoregressive_net=made,
-            tail_codes=None if codes is None else jnp.asarray(codes),
-            tail_bound=jnp.asarray(bound),
+            tail_codes=None if codes is None else tuple(int(c) for c in codes),
+            tail_bound=tuple(float(b) for b in bound),
             features=features,
             num_bins=num_bins,
             constrained=constrained,
@@ -139,10 +139,21 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
                 min_bin_width=self.min_bin_width,
                 min_bin_height=self.min_bin_height,
             )
+        elif backend.use_pallas() and inputs.dtype == jnp.float32:
+            from ...ops.spline_pallas import (
+                unconstrained_rational_quadratic_spline_pallas,
+            )
+
+            outputs, logabsdet = unconstrained_rational_quadratic_spline_pallas(
+                inputs, uw, uh, ud, self.tail_codes, self.tail_bound,
+                inverse, self.min_bin_width, self.min_bin_height,
+                self.min_derivative, False, -1,
+            )
         else:
             outputs, logabsdet = splines.unconstrained_rational_quadratic_spline(
                 inputs, uw, uh, ud, inverse=inverse,
-                tail_codes=self.tail_codes, tail_bound=self.tail_bound,
+                tail_codes=jnp.asarray(np.asarray(self.tail_codes)),
+                tail_bound=jnp.asarray(np.asarray(self.tail_bound, np.float32)),
                 min_bin_width=self.min_bin_width,
                 min_bin_height=self.min_bin_height,
                 min_derivative=self.min_derivative,

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from ...core.module import Module, static_field, buffer_field
 from ...core.flow import Flow, sum_except_batch
-from ...ops import splines
+from ...ops import splines, backend
 
 
 def _split_indices(mask):
@@ -109,10 +109,14 @@ def _reshape_params(inputs, params):
 
 
 class PiecewiseRationalQuadraticCoupling(Coupling):
-    """RQ-spline coupling (coupling.py:262-362), uniform 3K+1 param layout."""
+    """RQ-spline coupling (coupling.py:262-362), uniform 3K+1 param layout.
 
-    tr_tail_codes: Optional[jnp.ndarray] = buffer_field(default=None)
-    tr_tail_bound: Optional[jnp.ndarray] = buffer_field(default=None)
+    Tail modes/bounds are static config (hashable tuples), which lets the
+    fused Pallas kernel path (ops/spline_pallas.py) specialize on them.
+    """
+
+    tr_tail_codes: Optional[tuple] = static_field(default=None)
+    tr_tail_bound: Optional[tuple] = static_field(default=None)
     num_bins: int = static_field(default=8)
     constrained: bool = static_field(default=False)
     net_hidden: int = static_field(default=0)
@@ -165,8 +169,8 @@ class PiecewiseRationalQuadraticCoupling(Coupling):
             identity_features=jnp.asarray(identity),
             transform_features=jnp.asarray(transform),
             inv_perm=jnp.asarray(inv_perm),
-            tr_tail_codes=None if tr_codes is None else jnp.asarray(tr_codes),
-            tr_tail_bound=jnp.asarray(tr_bound),
+            tr_tail_codes=None if tr_codes is None else tuple(int(c) for c in tr_codes),
+            tr_tail_bound=tuple(float(b) for b in tr_bound),
             num_bins=num_bins,
             constrained=constrained,
             net_hidden=int(net_hidden),
@@ -194,15 +198,26 @@ class PiecewiseRationalQuadraticCoupling(Coupling):
                 min_bin_width=self.min_bin_width,
                 min_bin_height=self.min_bin_height,
             )
+        elif backend.use_pallas() and inputs.dtype == jnp.float32:
+            from ...ops.spline_pallas import (
+                unconstrained_rational_quadratic_spline_pallas,
+            )
+
+            event_axis = 1 if inputs.ndim == 4 else -1
+            outputs, logabsdet = unconstrained_rational_quadratic_spline_pallas(
+                inputs, uw, uh, ud, self.tr_tail_codes, self.tr_tail_bound,
+                inverse, self.min_bin_width, self.min_bin_height,
+                self.min_derivative, False, event_axis,
+            )
         else:
-            codes = self.tr_tail_codes
-            bound = self.tr_tail_bound
+            codes = np.asarray(self.tr_tail_codes)
+            bound = np.asarray(self.tr_tail_bound, np.float32)
             if inputs.ndim == 4:  # per-channel broadcast over H, W
                 codes = codes[None, :, None, None]
                 bound = bound[None, :, None, None]
             outputs, logabsdet = splines.unconstrained_rational_quadratic_spline(
                 inputs, uw, uh, ud, inverse=inverse,
-                tail_codes=codes, tail_bound=bound,
+                tail_codes=jnp.asarray(codes), tail_bound=jnp.asarray(bound),
                 min_bin_width=self.min_bin_width,
                 min_bin_height=self.min_bin_height,
                 min_derivative=self.min_derivative,
@@ -216,8 +231,8 @@ class PiecewiseRationalQuadraticCDF(Flow):
     unnormalized_widths: jnp.ndarray
     unnormalized_heights: jnp.ndarray
     unnormalized_derivatives: jnp.ndarray
-    tail_codes: Optional[jnp.ndarray] = buffer_field(default=None)
-    tail_bound: Optional[jnp.ndarray] = buffer_field(default=None)
+    tail_codes: Optional[tuple] = static_field(default=None)
+    tail_bound: Optional[tuple] = static_field(default=None)
     constrained: bool = static_field(default=False)
     min_bin_width: float = static_field(default=splines.DEFAULT_MIN_BIN_WIDTH)
     min_bin_height: float = static_field(default=splines.DEFAULT_MIN_BIN_HEIGHT)
@@ -270,8 +285,8 @@ class PiecewiseRationalQuadraticCDF(Flow):
             unnormalized_widths=uw,
             unnormalized_heights=uh,
             unnormalized_derivatives=ud,
-            tail_codes=None if codes is None else jnp.asarray(codes),
-            tail_bound=jnp.asarray(bound),
+            tail_codes=None if codes is None else tuple(int(c) for c in codes),
+            tail_bound=tuple(float(b) for b in bound),
             constrained=constrained,
             min_bin_width=min_bin_width,
             min_bin_height=min_bin_height,
@@ -294,9 +309,20 @@ class PiecewiseRationalQuadraticCDF(Flow):
                 min_bin_width=self.min_bin_width,
                 min_bin_height=self.min_bin_height,
             )
+        elif backend.use_pallas() and inputs.dtype == jnp.float32:
+            from ...ops.spline_pallas import (
+                unconstrained_rational_quadratic_spline_pallas,
+            )
+
+            # per-dim config aligns with the first event axis (axis 1)
+            outputs, logabsdet = unconstrained_rational_quadratic_spline_pallas(
+                inputs, uw, uh, ud, self.tail_codes, self.tail_bound,
+                inverse, self.min_bin_width, self.min_bin_height,
+                self.min_derivative, False, 1,
+            )
         else:
-            codes = self.tail_codes
-            bound = self.tail_bound
+            codes = np.asarray(self.tail_codes)
+            bound = np.asarray(self.tail_bound, np.float32)
             # codes/bound are per leading dim of the param shape; broadcast to
             # the event: (C,) -> (C, 1, ...) matching inputs[1:].
             extra = inputs.ndim - 2
@@ -305,7 +331,7 @@ class PiecewiseRationalQuadraticCDF(Flow):
                 bound = bound[:, None]
             outputs, logabsdet = splines.unconstrained_rational_quadratic_spline(
                 inputs, uw, uh, ud, inverse=inverse,
-                tail_codes=codes, tail_bound=bound,
+                tail_codes=jnp.asarray(codes), tail_bound=jnp.asarray(bound),
                 min_bin_width=self.min_bin_width,
                 min_bin_height=self.min_bin_height,
                 min_derivative=self.min_derivative,

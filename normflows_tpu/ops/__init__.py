@@ -1,3 +1,4 @@
 """Numerical kernels: jnp reference implementations + Pallas TPU kernels."""
 
-from . import splines
+from . import splines, backend
+from .backend import set_kernel_backend, get_kernel_backend, use_pallas

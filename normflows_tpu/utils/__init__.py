@@ -1,9 +1,11 @@
 """Utilities (reference: normflows/utils/__init__.py:1-17)."""
 
-from . import masks, nn, eval, preprocessing, optim
+from . import masks, nn, eval, preprocessing, optim, splines
 from .eval import bits_per_dim, bits_per_dim_dataset, bitsPerDim, bitsPerDimDataset
-from .optim import update_lipschitz
+from .optim import update_lipschitz, set_requires_grad, clear_grad
 from .precision import set_compute_dtype
+from .nn import ActNorm, ClampExp, ConstScaleLayer, tile, sum_except_batch
+from .preprocessing import Logit, Jitter, Scale
 from .nn import (
     ConstScaleLayer,
     ClampExp,

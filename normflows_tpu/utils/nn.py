@@ -11,11 +11,29 @@ from ..core.flow import sum_except_batch  # re-export convenience
 __all__ = [
     "ConstScaleLayer",
     "ClampExp",
+    "ActNorm",
     "PeriodicFeaturesElementwise",
     "PeriodicFeaturesCat",
     "tile",
     "sum_except_batch",
 ]
+
+
+class ActNorm(Module):
+    """ActNorm as a plain net layer (reference utils/nn.py:26-43): wraps the
+    flow-version's affine transform, dropping the log-det."""
+
+    actnorm: Module
+
+    @classmethod
+    def create(cls, shape):
+        from ..flows.normalization import ActNorm as ActNormFlow
+
+        return cls(actnorm=ActNormFlow.create(shape))
+
+    def __call__(self, x):
+        out, _ = self.actnorm.forward(x)
+        return out
 
 
 def tile(x, n: int):

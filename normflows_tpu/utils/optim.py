@@ -16,6 +16,20 @@ import jax
 from ..core.module import Module
 
 
+def set_requires_grad(model, flag: bool):
+    """API-parity stub for utils/optim.py:4-14.
+
+    JAX has no in-place grad flags; trainability is expressed through
+    ``core.module.partition`` / optimizer masks.  Returns the model unchanged.
+    """
+    return model
+
+
+def clear_grad(model):
+    """API-parity stub for utils/optim.py:17-25 — gradients are values in JAX."""
+    return model
+
+
 def update_lipschitz(model, n_iterations: int = 50):
     """Re-run power iteration on every induced-norm layer; returns new model.
 

@@ -1,0 +1,164 @@
+"""Facade-level tests mirroring the reference core_test.py (loss scalar-ness,
+conditional context threading, class-conditional flows, sample/log_prob
+consistency)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import normflows_tpu as nft
+from normflows_tpu import flows, distributions as D
+from normflows_tpu.nets import MLP
+from tests.helpers import assert_close
+
+KEY = jax.random.key(0)
+
+
+def build_conditional_model(latent=2, context=3, K=4):
+    """Conditional flow: context threads q0 and every layer (core_test.py:63-115)."""
+    enc = MLP.create(KEY, [context, 16, 2 * latent])
+    q0 = D.ConditionalDiagGaussian.create((latent,), enc)
+    layers = [
+        flows.CoupledRationalQuadraticSpline.create(
+            jax.random.key(i), latent, 1, 32, num_context_channels=context,
+            reverse_mask=bool(i % 2),
+        )
+        for i in range(K)
+    ]
+    target = D.ConditionalDiagGaussianTarget()
+    return nft.ConditionalNormalizingFlow.create(q0, layers, p=target)
+
+
+class TestConditionalNormalizingFlow:
+    def test_sample_log_prob_consistency(self):
+        model = build_conditional_model()
+        ctx = jax.random.normal(jax.random.key(1), (8, 3))
+        z, log_q = model.sample(jax.random.key(2), 8, context=ctx)
+        assert z.shape == (8, 2)
+        assert_close(model.log_prob(z, ctx), log_q, atol=1e-3, rtol=1e-3)
+
+    def test_forward_kld_scalar(self):
+        model = build_conditional_model()
+        ctx = jax.random.normal(jax.random.key(3), (8, 3))
+        x = jax.random.normal(jax.random.key(4), (8, 2))
+        loss = model.forward_kld(x, ctx)
+        assert loss.shape == ()
+        assert jnp.isfinite(loss)
+
+    def test_reverse_kld_with_conditional_target(self):
+        model = build_conditional_model()
+        # context = concat(mean, std) for the conditional Gaussian target
+        ctx = jnp.concatenate(
+            [jax.random.normal(jax.random.key(5), (16, 2)),
+             jnp.ones((16, 2))], axis=1
+        )
+        # context dim for flows is 4 here; rebuild with matching context
+        model = build_conditional_model(context=4)
+        loss = model.reverse_kld(jax.random.key(6), 16, context=ctx)
+        assert loss.shape == ()
+        assert jnp.isfinite(loss)
+
+    def test_context_changes_density(self):
+        model = build_conditional_model()
+        x = jax.random.normal(jax.random.key(7), (4, 2))
+        c1 = jnp.zeros((4, 3))
+        c2 = jnp.ones((4, 3))
+        lp1 = model.log_prob(x, c1)
+        lp2 = model.log_prob(x, c2)
+        assert float(jnp.max(jnp.abs(lp1 - lp2))) > 1e-4
+
+
+class TestClassCondFlow:
+    def _build(self):
+        q0 = D.ClassCondDiagGaussian.create((4,), 3)
+        layers = []
+        b = jnp.array([1.0, 0.0, 1.0, 0.0])
+        for i in range(4):
+            k1, k2 = jax.random.split(jax.random.key(i))
+            s = MLP.create(k1, [4, 16, 4], init_zeros=True)
+            t = MLP.create(k2, [4, 16, 4], init_zeros=True)
+            layers.append(
+                flows.MaskedAffineFlow.create(b if i % 2 == 0 else 1 - b, t=t, s=s)
+            )
+        return nft.ClassCondFlow.create(q0, layers)
+
+    def test_forward_kld(self):
+        model = self._build()
+        x = jax.random.normal(KEY, (6, 4))
+        y = jnp.array([0, 1, 2, 0, 1, 2])
+        loss = model.forward_kld(x, y)
+        assert loss.shape == () and jnp.isfinite(loss)
+
+    def test_sample_log_prob_consistency(self):
+        model = self._build()
+        y = jnp.array([0, 1, 2, 0])
+        z, log_q = model.sample(jax.random.key(1), 4, y)
+        assert_close(model.log_prob(z, y), log_q, atol=1e-4, rtol=1e-4)
+
+    def test_save_load(self, tmp_path):
+        model = self._build()
+        p = str(tmp_path / "ccf.pkl")
+        model.save(p)
+        m2 = nft.load_model(p)
+        x = jax.random.normal(KEY, (3, 4))
+        y = jnp.array([0, 1, 2])
+        assert_close(model.log_prob(x, y), m2.log_prob(x, y))
+
+
+class TestLossVariants:
+    def _model(self):
+        b = jnp.array([1.0, 0.0])
+        layers = []
+        for i in range(4):
+            k1, k2 = jax.random.split(jax.random.key(i))
+            s = MLP.create(k1, [2, 16, 2])
+            t = MLP.create(k2, [2, 16, 2])
+            layers.append(
+                flows.MaskedAffineFlow.create(b if i % 2 == 0 else 1 - b, t=t, s=s)
+            )
+        return nft.NormalizingFlow.create(
+            D.DiagGaussian.create(2), layers, p=D.TwoMoons()
+        )
+
+    def test_reverse_kld_beta_annealing(self):
+        model = self._model()
+        l1 = model.reverse_kld(jax.random.key(0), 256, beta=0.1)
+        l2 = model.reverse_kld(jax.random.key(0), 256, beta=1.0)
+        assert jnp.isfinite(l1) and jnp.isfinite(l2)
+        assert float(l1) != float(l2)
+
+    def test_sticking_the_landing_gradients_differ(self):
+        model = self._model()
+        diff, rest = nft.partition(model)
+
+        def loss(d, score_fn):
+            return nft.combine(d, rest).reverse_kld(
+                jax.random.key(1), 256, score_fn=score_fn
+            )
+
+        g1 = jax.grad(lambda d: loss(d, True))(diff)
+        g2 = jax.grad(lambda d: loss(d, False))(diff)
+        # values agree, gradients differ (path-gradient estimator)
+        assert_close(loss(diff, True), loss(diff, False), atol=1e-4)
+        diffs = [
+            float(jnp.max(jnp.abs(a - b)))
+            for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2))
+        ]
+        assert max(diffs) > 1e-6
+
+    def test_alpha_div_variants(self):
+        model = self._model()
+        for alpha in [0.5, 2.0]:
+            for dreg in [False, True]:
+                loss = model.reverse_alpha_div(
+                    jax.random.key(2), 128, alpha=alpha, dreg=dreg
+                )
+                assert jnp.isfinite(loss)
+
+    def test_forward_and_log_det_consistency(self):
+        model = self._model()
+        z = jax.random.normal(jax.random.key(3), (8, 2))
+        x, ld = model.forward_and_log_det(z)
+        x2 = model.forward(z)
+        assert_close(x, x2)

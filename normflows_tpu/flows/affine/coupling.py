@@ -135,7 +135,9 @@ class AffineCoupling(Flow):
     scale_map: str = static_field(default="exp")
 
     def _params(self, z1, context=None):
-        param = self.param_map(z1) if context is None else self.param_map(z1, context=context)
+        # the reference's AffineCoupling is unconditional (coupling.py:117-151);
+        # context is accepted for interface uniformity and ignored
+        param = self.param_map(z1)
         shift, log_scale, kind = _affine_from_params(param, self.scale, self.scale_map)
         return shift, log_scale, kind
 
@@ -185,10 +187,11 @@ class MaskedAffineFlow(Flow):
         return cls(b=jnp.asarray(b), t_net=t, s_net=s)
 
     def _st(self, z_masked, context):
+        # unconditional in the reference (coupling.py:209-226); context ignored
         def call(net):
             if net is None:
                 return jnp.zeros_like(z_masked)
-            out = net(z_masked) if context is None else net(z_masked, context=context)
+            out = net(z_masked)
             return jnp.where(jnp.isfinite(out), out, jnp.zeros_like(out))
 
         return call(self.s_net), call(self.t_net)

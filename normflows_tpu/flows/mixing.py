@@ -6,6 +6,11 @@ forms an explicit inverse — forward applies two *triangular solves* in f32
 (numerically stable, MXU/VPU-friendly, no f64 emulation), and the log-det reads
 off the diagonal in O(C).  The 1x1 convolution itself is an einsum over the
 channel axis, which XLA maps to a batched matmul on the MXU.
+
+The reference's ``_Linear``/``_LinearCache`` eval-mode weight/inverse/logdet
+cache (mixing.py:257-365) has no counterpart here by design: under ``jit``,
+XLA common-subexpression-eliminates and hoists the weight assembly, which is
+exactly what the cache hand-implements for eager torch.
 """
 
 from __future__ import annotations

@@ -94,6 +94,11 @@ class NormalizingFlow(Module):
             log_q = log_q - ld
         return z, log_q
 
+    # distribution-protocol alias: a flow is usable wherever a base
+    # distribution is (e.g. as an SMC/AIS proposal)
+    def sample_and_log_prob(self, key, num_samples: int = 1, context=None):
+        return self.sample(key, num_samples, context)
+
     # ---- training objectives --------------------------------------------
     def forward_kld(self, x, context=None, *, key=None):
         """-E_p[log q(x)] maximum-likelihood loss (core.py:87-102)."""

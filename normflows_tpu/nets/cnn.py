@@ -45,21 +45,25 @@ class Conv2d(Module):
     def __call__(self, x):
         w = self.weight
         if self.compute_dtype is not None:
+            # fully-bf16 conv (MXU accumulates in f32 internally); a mixed
+            # f32-preferred output would break the conv transpose rule in
+            # the backward pass (lax requires matching operand dtypes)
             dt = jnp.dtype(self.compute_dtype)
             x_c, w = x.astype(dt), w.astype(dt)
+            y = jax.lax.conv_general_dilated(
+                x_c, w, (1, 1), [(self.padding, self.padding)] * 2,
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+            )
         else:
-            x_c = x
-        y = jax.lax.conv_general_dilated(
-            x_c,
-            w,
-            window_strides=(1, 1),
-            padding=[(self.padding, self.padding)] * 2,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"),
-            preferred_element_type=jnp.float32,
-        )
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), [(self.padding, self.padding)] * 2,
+                dimension_numbers=("NCHW", "OIHW", "NCHW"),
+                preferred_element_type=jnp.float32,
+            )
+        y = y.astype(x.dtype)
         if self.bias is not None:
             y = y + self.bias[None, :, None, None]
-        return y.astype(x.dtype)
+        return y
 
 
 class NetActNorm(Module):

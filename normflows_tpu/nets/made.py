@@ -89,16 +89,19 @@ class MaskedLinear(Module):
     def __call__(self, x):
         w = self.weight * self.mask
         if self.compute_dtype is not None:
-            # bf16 matmul on the MXU with f32 accumulation; params stay f32
+            # end-to-end low-precision: activations STAY in compute_dtype
+            # between layers (casting back to f32 per layer would keep the
+            # HBM activation traffic at f32 and erase the benefit); the MADE
+            # output is cast back where consumed
             dt = jnp.dtype(self.compute_dtype)
-            y = jnp.dot(
-                x.astype(dt), w.astype(dt), preferred_element_type=jnp.float32
-            )
-        else:
-            y = x @ w
+            y = jnp.dot(x.astype(dt), w.astype(dt))
+            if self.bias is not None:
+                y = y + self.bias.astype(dt)
+            return y
+        y = x @ w
         if self.bias is not None:
             y = y + self.bias
-        return y.astype(x.dtype)
+        return y
 
     def with_compute_dtype(self, dtype):
         return self.replace(compute_dtype=dtype)
@@ -188,7 +191,8 @@ class MaskedResidualBlock(Module):
         temps = self.linear_1(temps)
         if context is not None and self.context_layer is not None:
             # torch F.glu(cat(a, b)) = a * sigmoid(b)
-            temps = temps * jax.nn.sigmoid(self.context_layer(context))
+            gate = jax.nn.sigmoid(self.context_layer(context))
+            temps = temps * gate.astype(temps.dtype)
         return x + temps
 
 
@@ -268,7 +272,7 @@ class MADE(Module):
         out = self.preprocessing(x) if self.preprocessing is not None else x
         out = self.initial_layer(out)
         if context is not None and self.context_layer is not None:
-            out = out + self.context_layer(context)
+            out = out + self.context_layer(context).astype(out.dtype)
         for block in self.blocks:
             out = block(out, context)
-        return self.final_layer(out)
+        return self.final_layer(out).astype(x.dtype)

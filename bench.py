@@ -22,6 +22,7 @@ import optax
 
 import normflows_tpu as nf
 from normflows_tpu import flows, distributions
+from normflows_tpu.utils import enable_compilation_cache
 
 BASELINE_SAMPLES_PER_SEC = 535.2  # see BASELINE_MEASURED.json
 
@@ -41,6 +42,7 @@ def build_model():
 
 
 def main():
+    enable_compilation_cache()
     model = build_model()
     opt = optax.adam(5e-4)
     diff, rest = nf.partition(model)

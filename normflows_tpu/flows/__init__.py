@@ -1,6 +1,7 @@
 """Flow layer zoo (reference: normflows/flows/__init__.py:1-45)."""
 
-from ..core.flow import Flow, Reverse, Composite, Identity, ScanChain
+from ..core.flow import Flow, Reverse, Composite, Identity, ScanChain, zero_log_det_like_z
+from . import base
 from .planar import Planar
 from .radial import Radial
 from .affine.coupling import (

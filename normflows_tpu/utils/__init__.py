@@ -4,6 +4,7 @@ from . import masks, nn, eval, preprocessing, optim, splines
 from .eval import bits_per_dim, bits_per_dim_dataset, bitsPerDim, bitsPerDimDataset
 from .optim import update_lipschitz, set_requires_grad, clear_grad
 from .precision import set_compute_dtype
+from .cache import enable_compilation_cache
 from .nn import ActNorm, ClampExp, ConstScaleLayer, tile, sum_except_batch
 from .preprocessing import Logit, Jitter, Scale
 from .nn import (

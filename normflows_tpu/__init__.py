@@ -17,6 +17,7 @@ from . import (
     sampling,
     parallel,
     training,
+    data,
 )
 from .core.module import (
     Module,

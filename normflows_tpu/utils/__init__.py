@@ -1,6 +1,6 @@
 """Utilities (reference: normflows/utils/__init__.py:1-17)."""
 
-from . import masks, nn, eval, preprocessing, optim, splines
+from . import masks, nn, eval, preprocessing, optim, splines, profiling
 from .eval import bits_per_dim, bits_per_dim_dataset, bitsPerDim, bitsPerDimDataset
 from .optim import update_lipschitz, set_requires_grad, clear_grad
 from .precision import set_compute_dtype

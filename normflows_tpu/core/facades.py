@@ -183,6 +183,23 @@ class NormalizingFlow(Module):
             new_flows.append(flow)
         return self.replace(flows=tuple(reversed(new_flows)))
 
+    def init_actnorm_sampling(self, key, num_samples: int = 128, context=None):
+        """Initialize ActNorm layers from a sampling-direction pass.
+
+        The reference's lazy init fires on whichever direction runs first;
+        reverse-KLD-trained models init by sampling (e.g. reference
+        examples/augmented_flow.ipynb 'Initialize ActNorm' cell).  Returns
+        the initialized model.
+        """
+        from .flow import _forward_data_dep_init
+
+        z, _ = self.q0.sample_and_log_prob(key, num_samples, context)
+        new_flows = []
+        for flow in self.flows:
+            flow, z = _forward_data_dep_init(flow, z, context)
+            new_flows.append(flow)
+        return self.replace(flows=tuple(new_flows))
+
     # ---- persistence (core.py:199-213) ----------------------------------
     def save(self, path: str):
         save_model(self, path)

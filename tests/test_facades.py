@@ -162,3 +162,39 @@ class TestLossVariants:
         x, ld = model.forward_and_log_det(z)
         x2 = model.forward(z)
         assert_close(x, x2)
+
+
+class TestActNormSamplingInit:
+    def test_init_actnorm_sampling_whitens(self):
+        """Sampling-direction ActNorm init (reference augmented_flow.ipynb
+        'Initialize ActNorm' cell: init fires on the first sample pass)."""
+        layers = []
+        for i in range(2):
+            s = MLP.create(jax.random.key(10 + i), [2, 16, 2], init_zeros=True)
+            t = MLP.create(jax.random.key(20 + i), [2, 16, 2], init_zeros=True)
+            b = jnp.array([1.0, 0.0]) if i % 2 == 0 else jnp.array([0.0, 1.0])
+            layers.append(flows.MaskedAffineFlow.create(b, t=t, s=s))
+            layers.append(flows.ActNorm.create(2))
+        q0 = D.DiagGaussian.create(2, trainable=False)
+        model = nft.NormalizingFlow.create(q0, layers, p=D.TwoMoons())
+        assert not bool(model.flows[1].initialized)
+
+        model = model.init_actnorm_sampling(jax.random.key(0), 4096)
+        for f in model.flows:
+            if isinstance(f, flows.ActNorm):
+                assert bool(f.initialized)
+        # post-init forward pass of the last ActNorm produces whitened output
+        z, _ = q0.sample_and_log_prob(jax.random.key(0), 4096)
+        for f in model.flows:
+            z, _ = f.forward(z)
+        assert abs(float(z.mean())) < 0.1
+        assert abs(float(z.std()) - 1.0) < 0.1
+
+    def test_losses_finite_after_init(self):
+        layers = [flows.ActNorm.create(2)]
+        model = nft.NormalizingFlow.create(
+            D.DiagGaussian.create(2), layers, p=D.TwoMoons()
+        )
+        model = model.init_actnorm_sampling(jax.random.key(1), 256)
+        loss = model.reverse_kld(jax.random.key(2), 128)
+        assert bool(jnp.isfinite(loss))

@@ -270,6 +270,12 @@ class MADE(Module):
 
     def __call__(self, x, context=None):
         out = self.preprocessing(x) if self.preprocessing is not None else x
+        from ..ops import backend, made_pallas
+
+        if backend.made_fusion_enabled() and made_pallas.fusable(self, out, context):
+            # fused Pallas path: whole masked MLP in one kernel, hidden
+            # activations stay in VMEM (see ops/made_pallas.py)
+            return made_pallas.made_apply_fused(self, out).astype(x.dtype)
         out = self.initial_layer(out)
         if context is not None and self.context_layer is not None:
             out = out + self.context_layer(context).astype(out.dtype)

@@ -34,3 +34,21 @@ def use_pallas() -> bool:
     except RuntimeError:
         return False
     return platform in ("tpu", "axon")
+
+
+# Fused MADE MLP kernel (ops/made_pallas.py) is opt-in: measured on the
+# flagship NSF-cylinder config the XLA path already runs the masked MLP at
+# the MXU roof and autodiffs it faster than the hand-fused backward kernel
+# (912k vs 834k samples/s end-to-end), so "auto" keeps it off.  It wins for
+# standalone (non-jit-enclosed) forward calls and is kept for hardware where
+# XLA fuses less well.
+_MADE_FUSION = False
+
+
+def set_made_fusion(enabled: bool):
+    global _MADE_FUSION
+    _MADE_FUSION = bool(enabled)
+
+
+def made_fusion_enabled() -> bool:
+    return _MADE_FUSION and use_pallas()

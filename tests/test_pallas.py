@@ -85,3 +85,63 @@ class TestSplinePallasKernel:
         g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(x, uw, uh, ud)
         for a, b in zip(g_ref, g_pal):
             assert_close(a, b, atol=1e-3, rtol=1e-3)
+
+
+class TestFusedMadePallas:
+    """Fused residual-MADE MLP kernel (ops/made_pallas.py) vs the jnp path."""
+
+    def _made(self, blocks=1, hidden=512, mult=31):
+        from normflows_tpu.nets.made import MADE
+
+        return MADE.create(
+            jax.random.key(7), features=2, hidden_features=hidden,
+            num_blocks=blocks, output_multiplier=mult, permute_mask=True,
+            rng_seed=3,
+        )
+
+    @pytest.mark.parametrize("blocks", [1, 2])
+    def test_forward_matches(self, blocks):
+        from normflows_tpu.ops import made_pallas
+
+        made = self._made(blocks=blocks)
+        x = jax.random.normal(jax.random.key(8), (300, 2))
+        assert made_pallas.fusable(made, x, None)
+        ref_out = made(x)  # jnp path (fusion off by default)
+        fused = made_pallas.made_apply_fused(made, x, interpret=True)
+        assert_close(fused, ref_out, atol=1e-5)
+
+    def test_gradients_match(self):
+        import normflows_tpu as nft
+        from normflows_tpu.ops import made_pallas
+
+        made = self._made()
+        x = jax.random.normal(jax.random.key(9), (300, 2))
+        diff, rest = nft.partition(made)
+
+        def loss(d, x, fused):
+            m = nft.combine(d, rest)
+            o = made_pallas.made_apply_fused(m, x, interpret=True) if fused else m(x)
+            return (o ** 2).sum() + jnp.sin(o).sum()
+
+        g_ref = jax.grad(loss, argnums=(0, 1))(diff, x, False)
+        g_fus = jax.grad(loss, argnums=(0, 1))(diff, x, True)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_fus)):
+            assert_close(a, b, atol=2e-4)
+
+    def test_fusable_gates(self):
+        from normflows_tpu.nets.made import MADE
+        from normflows_tpu.ops import made_pallas
+
+        made = self._made()
+        x = jax.random.normal(jax.random.key(10), (300, 2))
+        # context / small batch / non-2D / odd hidden width all fall back
+        assert not made_pallas.fusable(made, x, jnp.ones((300, 3)))
+        assert not made_pallas.fusable(made, x[:16], None)
+        assert not made_pallas.fusable(made, x[None], None)
+        odd = MADE.create(jax.random.key(11), features=2, hidden_features=100,
+                          num_blocks=1, output_multiplier=3)
+        assert not made_pallas.fusable(odd, x, None)
+        ff = MADE.create(jax.random.key(12), features=2, hidden_features=512,
+                         num_blocks=1, output_multiplier=3,
+                         use_residual_blocks=False)
+        assert not made_pallas.fusable(ff, x, None)

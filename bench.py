@@ -12,6 +12,7 @@ numbers of its own).
 Prints ONE JSON line.
 """
 
+import functools
 import json
 import time
 
@@ -44,12 +45,16 @@ def build_model():
 def main():
     enable_compilation_cache()
     model = build_model()
+    # bf16 MADE matmuls on the MXU: convergence-validated — 10k-iter training
+    # reaches held-out KL(q||p) = 1.2e-4 nats (f32: 1.6e-4; both are MC noise
+    # of the 2^16-sample estimator).  See QUALITY.md.
+    model = nf.utils.set_compute_dtype(model, "bfloat16")
     opt = optax.adam(5e-4)
     diff, rest = nf.partition(model)
     opt_state = opt.init(diff)
     num_samples = 2**14
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(diff, opt_state, key):
         loss, grads = jax.value_and_grad(
             lambda d: nf.combine(d, rest).reverse_kld(key, num_samples)
@@ -59,12 +64,12 @@ def main():
 
     key = jax.random.key(0)
     # compile + warmup
-    for _ in range(2):
+    for _ in range(4):
         key, sub = jax.random.split(key)
         diff, opt_state, loss = step(diff, opt_state, sub)
     jax.block_until_ready(loss)
 
-    iters = 20
+    iters = 30
     t0 = time.time()
     for _ in range(iters):
         key, sub = jax.random.split(key)

@@ -36,9 +36,13 @@ def main():
     ap.add_argument("--iters", type=int, default=10000)
     ap.add_argument("--num-samples", type=int, default=2**14)
     ap.add_argument("--lr", type=float, default=5e-4)
+    ap.add_argument("--bf16", action="store_true",
+                    help="run MADE matmuls in bfloat16 on the MXU")
     args = ap.parse_args()
 
     model = build_model()
+    if args.bf16:
+        model = nf.utils.set_compute_dtype(model, "bfloat16")
     schedule = optax.cosine_decay_schedule(args.lr, args.iters)
     opt = optax.adam(schedule)
     diff, rest = nf.partition(model)

@@ -37,11 +37,12 @@ def use_pallas() -> bool:
 
 
 # Fused MADE MLP kernel (ops/made_pallas.py) is opt-in: measured on the
-# flagship NSF-cylinder config the XLA path already runs the masked MLP at
-# the MXU roof and autodiffs it faster than the hand-fused backward kernel
-# (912k vs 834k samples/s end-to-end), so "auto" keeps it off.  It wins for
-# standalone (non-jit-enclosed) forward calls and is kept for hardware where
-# XLA fuses less well.
+# flagship NSF-cylinder config the XLA path autodiffs the masked MLP faster
+# than the hand-fused backward kernel in BOTH precisions (f32: 912k vs 834k;
+# bf16: 966-987k vs 857-861k samples/s end-to-end) — the in-kernel vjp
+# recompute costs 3x forward FLOPs vs XLA's 2x + stored residuals, and on
+# this chip the MXU is the scarcer resource.  "auto" therefore keeps it off;
+# it remains available for hardware with a different FLOP:bandwidth ratio.
 _MADE_FUSION = False
 
 

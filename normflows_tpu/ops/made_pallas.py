@@ -57,31 +57,53 @@ def _act(name, x):
     raise NotImplementedError(f"activation {name}")
 
 
-def _mlp_block(x, w0, b0, w1s, b1s, w2s, b2s, wf, bf, *, R, activation):
+def _mlp_block(x, w0, b0, w1s, b1s, w2s, b2s, wf, bf, *, R, activation,
+               compute_dtype=None):
     """Residual-MLP forward on one batch tile; differentiable (used under
-    jax.vjp inside the backward kernel)."""
+    jax.vjp inside the backward kernel).
+
+    Mixed precision: with ``compute_dtype='bfloat16'`` the weights arrive
+    bf16 and each matmul operand is cast to bf16 (MXU native rate) with f32
+    accumulation; activations/biases stay f32 in VMEM — strictly *more*
+    accurate than the XLA bf16 path (which keeps activations bf16 in HBM),
+    at zero HBM cost since everything lives in VMEM here.
+    """
     f32 = jnp.float32
-    h = jnp.dot(x, w0, preferred_element_type=f32) + b0[0]
+    cd = jnp.dtype(compute_dtype) if compute_dtype is not None else None
+
+    def mm(a, w):
+        if cd is not None:
+            a = a.astype(cd)
+        return jnp.dot(a, w, preferred_element_type=f32)
+
+    h = mm(x, w0) + b0[0]
     for r in range(R):
         t = _act(activation, h)
-        t = jnp.dot(t, w1s[r], preferred_element_type=f32) + b1s[r, 0]
+        t = mm(t, w1s[r]) + b1s[r, 0]
         t = _act(activation, t)
-        t = jnp.dot(t, w2s[r], preferred_element_type=f32) + b2s[r, 0]
+        t = mm(t, w2s[r]) + b2s[r, 0]
         h = h + t
-    return jnp.dot(h, wf, preferred_element_type=f32) + bf[0]
+    return mm(h, wf) + bf[0]
 
 
 def _fwd_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-                wf_ref, bf_ref, out_ref, *, R, activation):
+                wf_ref, bf_ref, out_ref, *, R, activation, compute_dtype):
     out_ref[:] = _mlp_block(
         x_ref[:], w0_ref[:], b0_ref[:], w1_ref[:], b1_ref[:], w2_ref[:],
         b2_ref[:], wf_ref[:], bf_ref[:], R=R, activation=activation,
+        compute_dtype=compute_dtype,
     )
 
 
 def _acc(ref, val):
-    """Initialize-then-accumulate a revisited output block across grid steps."""
+    """Initialize-then-accumulate a revisited output block across grid steps.
+
+    The constant output index map keeps the block VMEM-resident for the whole
+    grid, so this is a VMEM read-modify-write; accumulation is in the ref's
+    dtype (f32 — see ``_vjp_bwd``) regardless of compute dtype.
+    """
     first = pl.program_id(0) == 0
+    val = val.astype(ref.dtype)
 
     @pl.when(first)
     def _():
@@ -95,17 +117,18 @@ def _acc(ref, val):
 def _bwd_kernel(x_ref, w0_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                 wf_ref, bf_ref, g_ref,
                 dx_ref, dw0_ref, db0_ref, dw1_ref, db1_ref, dw2_ref, db2_ref,
-                dwf_ref, dbf_ref, *, R, activation):
+                dwf_ref, dbf_ref, *, R, activation, compute_dtype):
     def f(x, w0, b0, w1s, b1s, w2s, b2s, wf, bf):
         return _mlp_block(x, w0, b0, w1s, b1s, w2s, b2s, wf, bf,
-                          R=R, activation=activation)
+                          R=R, activation=activation,
+                          compute_dtype=compute_dtype)
 
     _, vjp_fn = jax.vjp(
         f, x_ref[:], w0_ref[:], b0_ref[:], w1_ref[:], b1_ref[:], w2_ref[:],
         b2_ref[:], wf_ref[:], bf_ref[:],
     )
     dx, dw0, db0, dw1, db1, dw2, db2, dwf, dbf = vjp_fn(g_ref[:])
-    dx_ref[:] = dx
+    dx_ref[:] = dx.astype(dx_ref.dtype)
     for ref, val in (
         (dw0_ref, dw0), (db0_ref, db0), (dw1_ref, dw1), (db1_ref, db1),
         (dw2_ref, dw2), (db2_ref, db2), (dwf_ref, dwf), (dbf_ref, dbf),
@@ -134,59 +157,69 @@ def _weight_specs(F, H, R, P):
     ]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
 def fused_resmade(x, w0, b0, w1s, b1s, w2s, b2s, wf, bf,
-                  activation="relu", interpret=False):
+                  activation="relu", interpret=False, compute_dtype=None):
     """Fused residual-MADE MLP: (B, F) -> (B, P); see module docstring."""
     return _fwd_impl(x, w0, b0, w1s, b1s, w2s, b2s, wf, bf, activation,
-                     interpret)
+                     interpret, compute_dtype)
 
 
-def _fwd_impl(x, w0, b0, w1s, b1s, w2s, b2s, wf, bf, activation, interpret):
+def _fwd_impl(x, w0, b0, w1s, b1s, w2s, b2s, wf, bf, activation, interpret,
+              compute_dtype):
     B, F = x.shape
     H = w0.shape[1]
     R = w1s.shape[0]
     P = wf.shape[1]
-    kernel = functools.partial(_fwd_kernel, R=R, activation=activation)
+    kernel = functools.partial(_fwd_kernel, R=R, activation=activation,
+                               compute_dtype=compute_dtype)
     tb = min(TILE_B_FWD, B)
     return pl.pallas_call(
         kernel,
         grid=(B // tb,),
         in_specs=[_tiled(F, tb)] + _weight_specs(F, H, R, P),
         out_specs=_tiled(P, tb),
-        out_shape=jax.ShapeDtypeStruct((B, P), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, P), jnp.float32),
         interpret=interpret,
     )(x, w0, b0, w1s, b1s, w2s, b2s, wf, bf)
 
 
-def _vjp_fwd(x, w0, b0, w1s, b1s, w2s, b2s, wf, bf, activation, interpret):
+def _vjp_fwd(x, w0, b0, w1s, b1s, w2s, b2s, wf, bf, activation, interpret,
+             compute_dtype):
     out = _fwd_impl(x, w0, b0, w1s, b1s, w2s, b2s, wf, bf, activation,
-                    interpret)
+                    interpret, compute_dtype)
     return out, (x, w0, b0, w1s, b1s, w2s, b2s, wf, bf)
 
 
-def _vjp_bwd(activation, interpret, res, g):
+def _vjp_bwd(activation, interpret, compute_dtype, res, g):
     x, w0, b0, w1s, b1s, w2s, b2s, wf, bf = res
     B, F = x.shape
     H = w0.shape[1]
     R = w1s.shape[0]
     P = wf.shape[1]
-    kernel = functools.partial(_bwd_kernel, R=R, activation=activation)
+    kernel = functools.partial(_bwd_kernel, R=R, activation=activation,
+                               compute_dtype=compute_dtype)
     tb = min(TILE_B_BWD, B)
     shapes = [x, w0, b0, w1s, b1s, w2s, b2s, wf, bf]
     out_specs = ([_tiled(F, tb)]
                  + _weight_specs(F, H, R, P))
+    # weight/bias grads accumulate across grid steps — keep those refs f32
+    # (VMEM-resident via the constant index map) and cast back to the primal
+    # dtypes afterwards
     grads = pl.pallas_call(
         kernel,
         grid=(B // tb,),
         in_specs=[_tiled(F, tb)] + _weight_specs(F, H, R, P) + [_tiled(P, tb)],
         out_specs=tuple(out_specs),
         out_shape=tuple(
-            jax.ShapeDtypeStruct(a.shape, a.dtype) for a in shapes
+            [jax.ShapeDtypeStruct(x.shape, x.dtype)]
+            + [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in shapes[1:]]
         ),
         interpret=interpret,
     )(x, w0, b0, w1s, b1s, w2s, b2s, wf, bf, g)
-    return tuple(grads)
+    return tuple(
+        gr.astype(a.dtype) for gr, a in zip(grads, shapes)
+    )
 
 
 fused_resmade.defvjp(_vjp_fwd, _vjp_bwd)
@@ -209,6 +242,9 @@ def fusable(made, x, context) -> bool:
     blocks = made.blocks
     if not blocks:
         return False
+    cd = made.initial_layer.compute_dtype
+    if cd not in (None, "bfloat16"):
+        return False
     for blk in blocks:
         if not isinstance(blk, MaskedResidualBlock):
             return False
@@ -216,15 +252,15 @@ def fusable(made, x, context) -> bool:
             return False
         if blk.activation != blocks[0].activation:
             return False
-        if blk.linear_0.compute_dtype is not None:
+        if blk.linear_0.compute_dtype != cd or blk.linear_1.compute_dtype != cd:
             return False
         if blk.linear_0.bias is None or blk.linear_1.bias is None:
             return False
     lin = made.initial_layer
-    if lin.compute_dtype is not None or lin.bias is None:
+    if lin.bias is None:
         return False
     fin = made.final_layer
-    if fin.compute_dtype is not None or fin.bias is None:
+    if fin.compute_dtype != cd or fin.bias is None:
         return False
     H = lin.weight.shape[1]
     if H % 128 != 0:
@@ -253,14 +289,19 @@ def made_apply_fused(made, x, interpret=False):
     blocks = made.blocks
     H = lin.weight.shape[1]
     P = fin.weight.shape[1]
+    cd = lin.compute_dtype  # None or "bfloat16" (checked by `fusable`)
 
-    w0 = lin.weight * lin.mask
+    def w(layer):
+        m = layer.weight * layer.mask
+        return m.astype(jnp.dtype(cd)) if cd is not None else m
+
+    w0 = w(lin)
     b0 = lin.bias.reshape(1, H)
-    w1s = jnp.stack([b.linear_0.weight * b.linear_0.mask for b in blocks])
+    w1s = jnp.stack([w(b.linear_0) for b in blocks])
     b1s = jnp.stack([b.linear_0.bias.reshape(1, H) for b in blocks])
-    w2s = jnp.stack([b.linear_1.weight * b.linear_1.mask for b in blocks])
+    w2s = jnp.stack([w(b.linear_1) for b in blocks])
     b2s = jnp.stack([b.linear_1.bias.reshape(1, H) for b in blocks])
-    wf = fin.weight * fin.mask
+    wf = w(fin)
     bf = fin.bias.reshape(1, P)
 
     Bp = _round_up(B, max(TILE_B_FWD, TILE_B_BWD))
@@ -272,5 +313,5 @@ def made_apply_fused(made, x, interpret=False):
         bf = jnp.pad(bf, ((0, 0), (0, Pp - P)))
 
     out = fused_resmade(x, w0, b0, w1s, b1s, w2s, b2s, wf, bf,
-                        blocks[0].activation, interpret)
+                        blocks[0].activation, interpret, cd)
     return out[:B, :P]

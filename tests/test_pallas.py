@@ -145,3 +145,57 @@ class TestFusedMadePallas:
                          num_blocks=1, output_multiplier=3,
                          use_residual_blocks=False)
         assert not made_pallas.fusable(ff, x, None)
+
+
+class TestFusedMadeBf16:
+    """bf16 mixed-precision path of the fused MADE kernel."""
+
+    def _made_bf16(self, blocks=1):
+        import normflows_tpu as nft
+        from normflows_tpu.nets.made import MADE
+
+        made = MADE.create(
+            jax.random.key(13), features=2, hidden_features=512,
+            num_blocks=blocks, output_multiplier=31, permute_mask=True,
+            rng_seed=5,
+        )
+        return nft.utils.set_compute_dtype(made, "bfloat16")
+
+    def test_fusable_and_forward_close_to_f32(self):
+        from normflows_tpu.ops import made_pallas
+
+        made = self._made_bf16()
+        x = jax.random.normal(jax.random.key(14), (300, 2))
+        assert made_pallas.fusable(made, x, None)
+        fused = made_pallas.made_apply_fused(made, x, interpret=True)
+        # oracle: the f32 jnp path; bf16 matmuls with f32 accumulation stay
+        # within bf16 rounding of it
+        import normflows_tpu as nft
+        f32_made = nft.utils.set_compute_dtype(made, None)
+        ref = f32_made(x)
+        assert fused.dtype == jnp.float32
+        assert_close(fused, ref, atol=0.15, rtol=0.05)
+        # and it must be strictly closer to f32 than pure-bf16 XLA is allowed
+        # to drift: compare against the XLA bf16 path too
+        xla_bf16 = made(x).astype(jnp.float32)
+        assert_close(fused, xla_bf16, atol=0.3, rtol=0.1)
+
+    def test_gradients_finite_and_close(self):
+        import normflows_tpu as nft
+        from normflows_tpu.ops import made_pallas
+
+        made = self._made_bf16()
+        x = jax.random.normal(jax.random.key(15), (300, 2))
+        diff, rest = nft.partition(made)
+
+        def loss(d, fused):
+            m = nft.combine(d, rest)
+            o = made_pallas.made_apply_fused(m, x, interpret=True) if fused \
+                else m(x).astype(jnp.float32)
+            return (o ** 2).mean()
+
+        g_fus = jax.grad(loss)(diff, True)
+        g_xla = jax.grad(loss)(diff, False)
+        for a, b in zip(jax.tree.leaves(g_fus), jax.tree.leaves(g_xla)):
+            assert bool(jnp.all(jnp.isfinite(a)))
+            assert_close(a, b, atol=5e-2, rtol=5e-2)

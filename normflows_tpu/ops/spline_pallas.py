@@ -33,6 +33,18 @@ from . import splines as ref
 
 SUB, LANE = 8, 128
 TILE = SUB * LANE
+MAX_SUB = 64  # sublane rows per grid step at large N (8 at small N)
+
+
+def _pick_sub(n: int) -> int:
+    """Sublane block height: large blocks amortize per-grid-step overhead.
+
+    At flagship shapes (N = 2^14 x 2 elements) an (8, 128) block means 32
+    grid steps whose DMA/semaphore overhead dominates the ~4 MB of actual
+    traffic; (64, 128) blocks cut that to 4 steps.  Small inputs stay at 8
+    rows so padding waste is bounded.
+    """
+    return MAX_SUB if n >= MAX_SUB * LANE else SUB
 
 
 def _spline_block(x, uw, uh, ud, codes, bound, *, num_bins, inverse,
@@ -172,22 +184,22 @@ def _bwd_kernel(x_ref, uw_ref, uh_ref, ud_ref, code_ref, bound_ref, ybar_ref,
     udg_ref[:] = udg
 
 
-def _specs(K):
-    espec = pl.BlockSpec((SUB, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
+def _specs(K, sub):
+    espec = pl.BlockSpec((sub, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     def pspec(slots):
         return pl.BlockSpec(
-            (slots, SUB, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            (slots, sub, LANE), lambda i: (0, i, 0), memory_space=pltpu.VMEM
         )
 
     return espec, pspec
 
 
-def _pallas_fwd_flat(x, uw_t, uh_t, ud_t, codes, bounds, cfg, interpret):
+def _pallas_fwd_flat(x, uw_t, uh_t, ud_t, codes, bounds, cfg, interpret, sub):
     rows = x.shape[0] // LANE
-    grid = rows // SUB
+    grid = rows // sub
     K = cfg["num_bins"]
-    espec, pspec = _specs(K)
+    espec, pspec = _specs(K, sub)
     kernel = functools.partial(_fwd_kernel, **cfg)
 
     def r2(a):
@@ -211,11 +223,11 @@ def _pallas_fwd_flat(x, uw_t, uh_t, ud_t, codes, bounds, cfg, interpret):
 
 
 def _pallas_bwd_flat(x, uw_t, uh_t, ud_t, codes, bounds, ybar, lbar, cfg,
-                     interpret):
+                     interpret, sub):
     rows = x.shape[0] // LANE
-    grid = rows // SUB
+    grid = rows // sub
     K = cfg["num_bins"]
-    espec, pspec = _specs(K)
+    espec, pspec = _specs(K, sub)
     kernel = functools.partial(_bwd_kernel, **cfg)
 
     def r2(a):
@@ -259,10 +271,10 @@ def _align(v, shape, event_axis):
     return jnp.broadcast_to(jnp.asarray(arr).reshape(view), shape)
 
 
-def _prepare(x, uw, uh, ud, tail_codes, tail_bound, event_axis=-1):
+def _prepare(x, uw, uh, ud, tail_codes, tail_bound, event_axis=-1, sub=SUB):
     shape = x.shape
     n = int(np.prod(shape))
-    pad = (-n) % TILE
+    pad = (-n) % (sub * LANE)
     codes = _align(tail_codes, shape, event_axis).reshape(-1)
     bounds = _align(np.asarray(tail_bound, np.float32), shape, event_axis)
     bounds = bounds.astype(x.dtype).reshape(-1)
@@ -325,11 +337,12 @@ def _fwd_impl(x, uw, uh, ud, tail_codes, tail_bound, inverse, mbw, mbh, md,
               interpret, event_axis=-1):
     shape = x.shape
     cfg = _cfg(uw, inverse, mbw, mbh, md)
+    sub = _pick_sub(int(np.prod(shape)))
     x_f, uw_t, uh_t, ud_t, codes_f, bounds_f, n, pad = _prepare(
-        x, uw, uh, ud, tail_codes, tail_bound, event_axis
+        x, uw, uh, ud, tail_codes, tail_bound, event_axis, sub
     )
     y, ld = _pallas_fwd_flat(x_f, uw_t, uh_t, ud_t, codes_f, bounds_f, cfg,
-                             interpret)
+                             interpret, sub)
     if pad:
         y, ld = y[:n], ld[:n]
     return y.reshape(shape), ld.reshape(shape), None
@@ -348,8 +361,9 @@ def _vjp_bwd(tail_codes, tail_bound, inverse, mbw, mbh, md, interpret,
     ybar, lbar = cts
     shape = x.shape
     cfg = _cfg(uw, inverse, mbw, mbh, md)
+    sub = _pick_sub(int(np.prod(shape)))
     x_f, uw_t, uh_t, ud_t, codes_f, bounds_f, n, pad = _prepare(
-        x, uw, uh, ud, tail_codes, tail_bound, event_axis
+        x, uw, uh, ud, tail_codes, tail_bound, event_axis, sub
     )
 
     def flat_pad(a):
@@ -358,7 +372,7 @@ def _vjp_bwd(tail_codes, tail_bound, inverse, mbw, mbh, md, interpret,
 
     xg, uwg_t, uhg_t, udg_t = _pallas_bwd_flat(
         x_f, uw_t, uh_t, ud_t, codes_f, bounds_f, flat_pad(ybar),
-        flat_pad(lbar), cfg, interpret,
+        flat_pad(lbar), cfg, interpret, sub,
     )
     xg = (xg[:n] if pad else xg).reshape(shape)
     return (

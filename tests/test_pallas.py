@@ -199,3 +199,49 @@ class TestFusedMadeBf16:
         for a, b in zip(jax.tree.leaves(g_fus), jax.tree.leaves(g_xla)):
             assert bool(jnp.all(jnp.isfinite(a)))
             assert_close(a, b, atol=5e-2, rtol=5e-2)
+
+
+class TestSplineLargeBlocks:
+    """The MAX_SUB (64, 128) block path used at flagship shapes."""
+
+    def test_large_n_forward_and_grads_match(self):
+        B, D, K = 8192, 2, 10  # N = 16384 >= MAX_SUB * LANE -> 64-row blocks
+        x, uw, uh, ud = make_inputs(B=B, D=D, K=K)
+        assert sp._pick_sub(B * D) == sp.MAX_SUB
+        codes = np.array([ref.TAIL_LINEAR, ref.TAIL_CIRCULAR])
+        bounds = np.array([5.0, np.pi], np.float32)
+        y_ref, ld_ref = ref.unconstrained_rational_quadratic_spline(
+            x, uw, uh, ud, inverse=True, tail_codes=codes, tail_bound=bounds
+        )
+        y_pal, ld_pal = sp.unconstrained_rqs_interpret(
+            x, uw, uh, ud, inverse=True, tail_codes=codes, tail_bound=bounds
+        )
+        assert_close(y_pal, y_ref, atol=2e-5, rtol=2e-5)
+        assert_close(ld_pal, ld_ref, atol=2e-4, rtol=2e-4)
+
+        def loss_ref(x, uw, uh, ud):
+            y, ld = ref.unconstrained_rational_quadratic_spline(
+                x, uw, uh, ud, inverse=True, tail_codes=codes, tail_bound=bounds)
+            return jnp.sum(jnp.sin(y)) + jnp.sum(ld)
+
+        def loss_pal(x, uw, uh, ud):
+            y, ld = sp.unconstrained_rqs_interpret(
+                x, uw, uh, ud, inverse=True, tail_codes=codes, tail_bound=bounds)
+            return jnp.sum(jnp.sin(y)) + jnp.sum(ld)
+
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, uw, uh, ud)
+        g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3))(x, uw, uh, ud)
+        for a, b in zip(g_ref, g_pal):
+            assert_close(a, b, atol=2e-3, rtol=2e-3)
+
+    def test_just_below_threshold_uses_small_blocks(self):
+        B, D, K = 100, 2, 6  # N = 200 < 8192
+        assert sp._pick_sub(B * D) == sp.SUB
+        x, uw, uh, ud = make_inputs(B=B, D=D, K=K)
+        y_ref, ld_ref = ref.unconstrained_rational_quadratic_spline(
+            x, uw, uh, ud, tail_codes=ref.TAIL_LINEAR, tail_bound=3.0
+        )
+        y_pal, ld_pal = sp.unconstrained_rqs_interpret(
+            x, uw, uh, ud, tail_codes=ref.TAIL_LINEAR, tail_bound=3.0
+        )
+        assert_close(y_pal, y_ref, atol=2e-5, rtol=2e-5)

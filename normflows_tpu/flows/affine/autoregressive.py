@@ -40,16 +40,28 @@ class Autoregressive(Flow):
             params = self.autoregressive_net(outputs, context)
             return self._elementwise_inverse(inputs, params)
 
-        init = (jnp.zeros_like(inputs), jnp.zeros(inputs.shape[0], inputs.dtype))
+        carry = (jnp.zeros_like(inputs), jnp.zeros(inputs.shape[0], inputs.dtype))
+        start = 0
+        if context is None:
+            # First recursion pass: MADE's autoregressive property makes the
+            # degree-1 output slots *input-independent* (their strict mask
+            # connects them to nothing), and every sample feeds the same
+            # all-zeros carry — so the batch-wide net pass is replaced by a
+            # single-row pass broadcast over the batch.  Exact (identical
+            # values and, via broadcast-sum, identical weight gradients);
+            # saves 1/D of the net FLOPs in the sampling direction.
+            p1 = self.autoregressive_net(jnp.zeros_like(inputs[:1]), None)
+            params = jnp.broadcast_to(p1, (inputs.shape[0], *p1.shape[1:]))
+            carry = self._elementwise_inverse(inputs, params)
+            start = 1
         if num_inputs <= 8:
             # unroll short recursions: XLA fuses/pipelines across iterations
             # (a lax loop serializes them; ~2x step time on the D=2 flagship)
-            carry = init
-            for i in range(num_inputs):
+            for i in range(start, num_inputs):
                 carry = body(i, carry)
             outputs, logabsdet = carry
         else:
-            outputs, logabsdet = jax.lax.fori_loop(0, num_inputs, body, init)
+            outputs, logabsdet = jax.lax.fori_loop(start, num_inputs, body, carry)
         return outputs, logabsdet
 
 

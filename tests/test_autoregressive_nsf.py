@@ -180,3 +180,55 @@ class TestNSFCylinderModel:
             losses.append(float(loss))
         assert np.isfinite(losses).all()
         assert losses[-1] < losses[0], f"{losses[0]} -> {losses[-1]}"
+
+
+def test_constant_first_pass_inverse_exact():
+    """The batch-1 broadcast first pass must reproduce the naive recursion
+    (full-batch MADE pass per dim) bit-for-bit up to float assoc noise."""
+    import numpy as np
+    from normflows_tpu import flows
+
+    layer = flows.MaskedAffineAutoregressive.create(
+        jax.random.key(3), features=4, hidden_features=64, num_blocks=2
+    )
+    x = jax.random.normal(jax.random.key(4), (37, 4))
+
+    # naive reference recursion (reference autoregressive.py:29-38 semantics)
+    outputs = jnp.zeros_like(x)
+    for _ in range(4):
+        params = layer.autoregressive_net(outputs, None)
+        outputs, logabsdet = layer._elementwise_inverse(x, params)
+
+    z, ld = layer.inverse(x)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(outputs), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ld), np.asarray(logabsdet), atol=1e-6)
+
+
+def test_constant_first_pass_gradients_exact():
+    """Weight gradients through the broadcast first pass match the naive path."""
+    import numpy as np
+    import normflows_tpu as nft
+    from normflows_tpu import flows
+
+    layer = flows.MaskedAffineAutoregressive.create(
+        jax.random.key(5), features=3, hidden_features=32, num_blocks=1
+    )
+    x = jax.random.normal(jax.random.key(6), (19, 3))
+    diff, rest = nft.partition(layer)
+
+    def loss_opt(d):
+        z, ld = nft.combine(d, rest).inverse(x)
+        return jnp.sum(z**2) + jnp.sum(ld)
+
+    def loss_naive(d):
+        lay = nft.combine(d, rest)
+        outputs = jnp.zeros_like(x)
+        for _ in range(3):
+            params = lay.autoregressive_net(outputs, None)
+            outputs, ld = lay._elementwise_inverse(x, params)
+        return jnp.sum(outputs**2) + jnp.sum(ld)
+
+    g_opt = jax.grad(loss_opt)(diff)
+    g_naive = jax.grad(loss_naive)(diff)
+    for a, b in zip(jax.tree.leaves(g_opt), jax.tree.leaves(g_naive)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -79,6 +79,8 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--data-npz", type=str, default=None)
+    ap.add_argument("--bf16", action="store_true",
+                    help="run coupling-net convs in bfloat16 on the MXU (~4x)")
     args = ap.parse_args()
 
     if args.data_npz:
@@ -96,6 +98,8 @@ def main():
     jitter = preprocessing.Jitter(1.0 / 256.0)
 
     model = build_glow(args.L, args.K, args.hidden, x_all.shape[1:])
+    if args.bf16:
+        model = nf.utils.set_compute_dtype(model, "bfloat16")
     model = model.init_actnorm(
         jitter(scale(x_all[: args.batch]), jax.random.key(8)), y_all[: args.batch]
     )

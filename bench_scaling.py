@@ -1,0 +1,144 @@
+"""Scaling-efficiency benchmark: flagship-step samples/s at 1..N devices.
+
+The BASELINE.json north star asks for samples/s at 1 chip / 1 host / >=2 hosts
+with >=85% weak-scaling efficiency.  This harness measures the full jitted
+reverse-KLD training step (sample + loss + grad + optimizer update) of the
+flagship NSF-cylinder model (examples/paper_example_nsf.ipynb config, reduced
+via flags) data-parallel over a ``{data: n}`` mesh, with a FIXED per-device
+sample count (weak scaling: the collective cost — one gradient allreduce over
+ICI — is the only thing that grows with n).
+
+Efficiency at n devices = rate_n / (n * rate_1).
+
+Prints one JSON line per mesh point, e.g.::
+
+    {"metric": "scaling_samples_per_sec", "devices": 4, "value": ...,
+     "per_device": ..., "efficiency": 0.97, ...}
+
+Usage:
+
+* real TPU pod / multi-host (run once per process, standard JAX multi-host):
+
+    python bench_scaling.py --devices 1,4,8 [--distributed]
+
+* plumbing validation on virtual CPU devices (numbers are correctness-only —
+  host CPUs share memory bandwidth, so "efficiency" is meaningless):
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+        python bench_scaling.py --devices 1,2,4,8 --samples-per-device 512 \
+        --layers 2 --hidden 64 --iters 5
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+import normflows_tpu as nf
+from normflows_tpu import flows, distributions, parallel
+from normflows_tpu.utils import enable_compilation_cache
+
+
+def build_model(num_layers: int, hidden: int):
+    """Flagship circular-NSF model (see bench.py / BASELINE.md row 2)."""
+    base = distributions.UniformGaussian.create(2, [1], jnp.array([1.0, 2 * np.pi]))
+    layers = [
+        flows.CircularAutoregressiveRationalQuadraticSpline.create(
+            jax.random.key(i), 2, 1, hidden, ind_circ=[1], num_bins=10,
+            tail_bound=jnp.array([5.0, np.pi]), permute_mask=True, rng_seed=i,
+        )
+        for i in range(num_layers)
+    ]
+    return nf.NormalizingFlow.create(base, layers, p=distributions.GaussianVonMises())
+
+
+def measure_point(model, n_devices: int, samples_per_device: int, iters: int,
+                  warmup: int = 3) -> float:
+    """samples/s of the data-parallel reverse-KLD step on the first n devices."""
+    # fresh leaf copies: the jitted step donates its inputs, and device_put
+    # onto an identical sharding is a no-op, so without a copy the donation
+    # would delete the caller's model arrays between mesh points
+    model = jax.tree.map(jnp.copy, model)
+    devices = jax.devices()[:n_devices]
+    mesh = parallel.make_mesh({"data": n_devices}, devices=devices)
+    num_samples = samples_per_device * n_devices
+    opt = optax.adam(5e-4)
+
+    step_fn, diff, rest, opt_state = parallel.make_reverse_kld_step(
+        model, opt, mesh, num_samples
+    )
+
+    key = jax.random.key(0)
+    for _ in range(warmup):
+        key, sub = jax.random.split(key)
+        diff, opt_state, loss = step_fn(diff, opt_state, sub)
+    jax.block_until_ready(loss)
+
+    t0 = time.time()
+    for _ in range(iters):
+        key, sub = jax.random.split(key)
+        diff, opt_state, loss = step_fn(diff, opt_state, sub)
+    jax.block_until_ready(loss)
+    dt = (time.time() - t0) / iters
+    assert bool(jnp.isfinite(loss)), f"non-finite loss at n={n_devices}"
+    return num_samples / dt
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--devices", default=None,
+                    help="comma list of device counts (default: 1,2,4,...,N)")
+    ap.add_argument("--samples-per-device", type=int, default=2**14)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--layers", type=int, default=12)
+    ap.add_argument("--hidden", type=int, default=512)
+    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--no-bf16", dest="bf16", action="store_false")
+    ap.add_argument("--distributed", action="store_true",
+                    help="call jax.distributed.initialize() first (multi-host)")
+    args = ap.parse_args()
+
+    if args.distributed:
+        from normflows_tpu.parallel import initialize_distributed
+        initialize_distributed()
+
+    enable_compilation_cache()
+    n_avail = len(jax.devices())
+    if args.devices:
+        counts = [int(c) for c in args.devices.split(",")]
+    else:
+        counts = [2**i for i in range(0, n_avail.bit_length()) if 2**i <= n_avail]
+
+    model = build_model(args.layers, args.hidden)
+    if args.bf16:
+        model = nf.utils.set_compute_dtype(model, "bfloat16")
+
+    rate_1 = None
+    for n in counts:
+        if n > n_avail:
+            print(json.dumps({"metric": "scaling_samples_per_sec", "devices": n,
+                              "skipped": f"only {n_avail} devices"}))
+            continue
+        rate = measure_point(model, n, args.samples_per_device, args.iters)
+        if rate_1 is None or n == 1:
+            rate_1 = rate if n == 1 else rate / n  # fall back if 1 not measured
+        eff = rate / (n * rate_1)
+        print(json.dumps({
+            "metric": "scaling_samples_per_sec",
+            "devices": n,
+            "hosts": jax.process_count(),
+            "value": round(rate, 1),
+            "unit": "samples/s",
+            "per_device": round(rate / n, 1),
+            "efficiency": round(eff, 4),
+            "samples_per_device": args.samples_per_device,
+            "platform": jax.devices()[0].platform,
+        }))
+
+
+if __name__ == "__main__":
+    main()

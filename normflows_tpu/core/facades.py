@@ -111,15 +111,29 @@ class NormalizingFlow(Module):
         context=None,
         beta: float = 1.0,
         score_fn: bool = True,
+        z_sharding=None,
     ):
         """E_q[log q] - beta E_q[log p] (core.py:104-131).
 
         ``score_fn=False`` drops the score-function term (sticking-the-landing,
         Roeder et al 2017): log q is re-computed through a gradient-stopped
         copy of the model at the *sampled* z (core.py:121-129).
+
+        ``z_sharding``: optional ``NamedSharding`` constraining the sampled
+        batch axis — because reverse KLD *generates* its batch inside jit,
+        nothing else pins the sample axis to the mesh; this annotation makes
+        the whole step data-parallel (see parallel.make_reverse_kld_step).
         """
         kq, kf = jax.random.split(key)
         z, log_q_ = self.q0.sample_and_log_prob(kq, num_samples, context)
+        if z_sharding is not None:
+            z = jax.lax.with_sharding_constraint(z, z_sharding)
+            log_q_ = jax.lax.with_sharding_constraint(
+                log_q_,
+                jax.sharding.NamedSharding(
+                    z_sharding.mesh, jax.sharding.PartitionSpec(z_sharding.spec[0])
+                ),
+            )
         log_q = log_q_
         keys = _split_keys(kf, len(self.flows))
         for flow, k in zip(self.flows, keys):
@@ -129,8 +143,10 @@ class NormalizingFlow(Module):
             sg = stop_gradient_tree(self)
             z_ = z
             log_q = jnp.zeros(z_.shape[0], z_.dtype)
-            for flow in reversed(sg.flows):
-                z_, ld = flow.inverse(z_, context)
+            # re-pass reuses the same per-layer keys so stochastic log-det
+            # estimators see identical noise in both passes
+            for flow, k in zip(reversed(sg.flows), reversed(keys)):
+                z_, ld = flow.inverse(z_, context, key=k)
                 log_q = log_q + ld
             log_q = log_q + sg.q0.log_prob(z_, context)
         log_p = self.p.log_prob(z) if context is None else self.p.log_prob(z, context)
@@ -153,8 +169,8 @@ class NormalizingFlow(Module):
             sg = stop_gradient_tree(self)
             z_ = z
             log_q = jnp.zeros(z_.shape[0], z_.dtype)
-            for flow in reversed(sg.flows):
-                z_, ld = flow.inverse(z_, context)
+            for flow, k in zip(reversed(sg.flows), reversed(keys)):
+                z_, ld = flow.inverse(z_, context, key=k)
                 log_q = log_q + ld
             log_q = log_q + sg.q0.log_prob(z_, context)
             w = jnp.exp(log_p - log_q)

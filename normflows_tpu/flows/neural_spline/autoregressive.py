@@ -125,11 +125,11 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
         uw = params[..., :K]
         uh = params[..., K : 2 * K]
         ud = params[..., 2 * K :]
-        hidden = self.autoregressive_net.hidden_features
-        if hidden:
-            scale = 1.0 / np.sqrt(hidden)
-            uw = uw * scale
-            uh = uh * scale
+        # NOTE: unlike the coupling path, NO 1/sqrt(hidden) softmax rescale
+        # here — the reference gates it on hasattr(net, "hidden_features")
+        # (autoregressive.py:106-108) and its MADE never sets that attribute,
+        # so the reference AR layer runs unscaled (verified by oracle parity,
+        # tests/test_reference_parity.py AR wrapper tests).
         if self.constrained:
             derivs = splines.make_knot_derivatives(
                 ud, jnp.int32(splines.TAIL_NONE), self.min_derivative

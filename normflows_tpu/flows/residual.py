@@ -137,9 +137,6 @@ class iResBlock(Module):
     nnet: Module
     geom_p_logit: jnp.ndarray = buffer_field()
     lamb: jnp.ndarray = buffer_field()
-    last_n_samples: jnp.ndarray = buffer_field()
-    last_firmom: jnp.ndarray = buffer_field()
-    last_secmom: jnp.ndarray = buffer_field()
     n_samples: int = static_field(default=1)
     n_power_series: Optional[int] = static_field(default=None)
     exact_trace: bool = static_field(default=False)
@@ -160,9 +157,6 @@ class iResBlock(Module):
             nnet=nnet,
             geom_p_logit=jnp.asarray(np.log(geom_p) - np.log(1.0 - geom_p)),
             lamb=jnp.asarray(lamb, jnp.float32),
-            last_n_samples=jnp.zeros(n_samples),
-            last_firmom=jnp.zeros(1),
-            last_secmom=jnp.zeros(1),
             n_samples=n_samples,
             n_power_series=n_power_series,
             exact_trace=exact_trace,
@@ -206,10 +200,6 @@ class iResBlock(Module):
     # -- log-det -----------------------------------------------------------
     def _logdetgrad(self, x, key=None):
         """g(x), logdet|d(x+g)/dx| (residual.py:144-251)."""
-        if key is None:
-            key = jax.random.key(0)
-        kn, ke = jax.random.split(key)
-
         apply_fn = self.nnet
 
         if (self.brute_force or not self.train) and x.ndim == 2 and x.shape[1] == 2:
@@ -217,6 +207,21 @@ class iResBlock(Module):
             jac = batch_jacobian(apply_fn, x)
             dets = (jac[:, 0, 0] + 1) * (jac[:, 1, 1] + 1) - jac[:, 0, 1] * jac[:, 1, 0]
             return g, jnp.log(jnp.abs(dets))
+
+        uses_roulette = not (self.train and self.n_power_series is not None)
+        uses_hutchinson = not self.exact_trace
+        if (uses_roulette or uses_hutchinson) and key is None:
+            # Reference semantics draw fresh torch RNG per call
+            # (residual.py:163-198); a silent fixed-key fallback would reuse
+            # identical noise every call — fail loudly instead.
+            raise ValueError(
+                "iResBlock log-det estimation is stochastic (russian-roulette"
+                " truncation / Hutchinson trace); pass an explicit PRNG key,"
+                " e.g. model.log_prob(x, key=jax.random.key(step)). For a"
+                " deterministic path use exact_trace=True with a fixed"
+                " n_power_series, or brute_force=True in 2-D."
+            )
+        kn, ke = (None, None) if key is None else jax.random.split(key)
 
         geom_p = jax.nn.sigmoid(self.geom_p_logit)
 
@@ -309,3 +314,22 @@ class Residual(Flow):
 
     def set_train(self, train: bool) -> "Residual":
         return self.replace(iresblock=self.iresblock.replace(train=train))
+
+    # -- data-dependent init hooks: transport only, no log-det --------------
+    # ActNorm init passes only need the transported activations; skipping the
+    # (stochastic) log-det estimator keeps init deterministic and key-free,
+    # matching the reference where init runs a plain forward pass
+    # (examples/residual.ipynb 'Initialize ActNorm' cell).
+    def data_dep_init(self, z, context=None):
+        if self.reverse:
+            z_out = z + self.iresblock.nnet(z)
+        else:
+            z_out = self.iresblock._inverse_fixed_point(z)
+        return self, z_out
+
+    def data_dep_init_forward(self, z, context=None):
+        if self.reverse:
+            z_out = self.iresblock._inverse_fixed_point(z)
+        else:
+            z_out = z + self.iresblock.nnet(z)
+        return self, z_out

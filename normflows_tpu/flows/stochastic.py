@@ -20,6 +20,22 @@ from ..core.module import Module, static_field
 from ..core.flow import Flow, sum_except_batch
 
 
+def _require_key(key, layer_name):
+    """Stochastic layers must receive fresh randomness on every call.
+
+    The reference draws from torch's global RNG (stochastic.py:76), so each
+    call gets fresh noise implicitly; a silent fixed-key fallback here would
+    reuse identical noise across calls and layers — a correctness trap.
+    """
+    if key is None:
+        raise ValueError(
+            f"{layer_name} is a stochastic flow layer and requires an explicit"
+            " PRNG key; pass key= through the facade call, e.g."
+            " model.log_prob(x, key=jax.random.key(step))."
+        )
+    return key
+
+
 class MetropolisHastings(Flow):
     """MH as a flow layer (stochastic.py:6-49); log_det = log p(z) - log p(z')."""
 
@@ -28,8 +44,7 @@ class MetropolisHastings(Flow):
     steps: int = static_field(default=1)
 
     def forward(self, z, context=None, *, key=None):
-        if key is None:
-            key = jax.random.key(0)
+        key = _require_key(key, "MetropolisHastings")
         log_p = self.target.log_prob(z)
         log_det = jnp.zeros(z.shape[0], z.dtype)
 
@@ -53,6 +68,15 @@ class MetropolisHastings(Flow):
 
     def inverse(self, z, context=None, *, key=None):
         return self.forward(z, context, key=key)
+
+    def data_dep_init(self, z, context=None):
+        """Identity transport: MCMC layers target their own stationary
+        distribution, so skipping the move is a sound key-free approximation
+        for downstream ActNorm init statistics."""
+        return self, z
+
+    def data_dep_init_forward(self, z, context=None):
+        return self, z
 
 
 class HamiltonianMonteCarlo(Flow):
@@ -82,8 +106,7 @@ class HamiltonianMonteCarlo(Flow):
         return grad
 
     def forward(self, z, context=None, *, key=None):
-        if key is None:
-            key = jax.random.key(0)
+        key = _require_key(key, "HamiltonianMonteCarlo")
         kp, ka = jax.random.split(key)
         p = jax.random.normal(kp, z.shape, z.dtype) * jnp.exp(0.5 * self.log_mass)
 
@@ -114,3 +137,10 @@ class HamiltonianMonteCarlo(Flow):
 
     def inverse(self, z, context=None, *, key=None):
         return self.forward(z, context, key=key)
+
+    def data_dep_init(self, z, context=None):
+        """Identity transport (see MetropolisHastings.data_dep_init)."""
+        return self, z
+
+    def data_dep_init_forward(self, z, context=None):
+        return self, z

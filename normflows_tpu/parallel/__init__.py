@@ -8,7 +8,11 @@ over ICI, and multi-host initialization.
 """
 
 from .mesh import make_mesh, shard_batch, replicate
-from .data_parallel import make_data_parallel_step, make_eval_step
+from .data_parallel import (
+    make_data_parallel_step,
+    make_eval_step,
+    make_reverse_kld_step,
+)
 from .chains import shard_chains, parallel_chain_sample
 from .distributed import initialize_distributed, process_local_batch
 
@@ -18,6 +22,7 @@ __all__ = [
     "replicate",
     "make_data_parallel_step",
     "make_eval_step",
+    "make_reverse_kld_step",
     "shard_chains",
     "parallel_chain_sample",
     "initialize_distributed",

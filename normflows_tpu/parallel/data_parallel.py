@@ -58,6 +58,56 @@ def make_data_parallel_step(
     return step_fn, diff, rest, opt_state
 
 
+def make_reverse_kld_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    num_samples: int,
+    axis: str = "data",
+    beta: float = 1.0,
+    score_fn: bool = True,
+    donate: bool = True,
+):
+    """Data-parallel reverse-KLD training step (the flagship objective).
+
+    Unlike ``make_data_parallel_step`` there is no input batch to shard —
+    reverse KLD *samples* its batch inside the step — so the sampled-z axis is
+    pinned to the mesh via a sharding constraint (facades.reverse_kld
+    ``z_sharding``).  With JAX's partitionable threefry, the generated samples
+    are bit-identical regardless of mesh size, so the sharded loss exactly
+    equals the single-device loss.
+
+    Returns ``(step_fn, diff, rest, opt_state)`` with
+    ``step_fn(diff, opt_state, key) -> (diff, opt_state, loss)``.
+    """
+    diff, rest = partition(model)
+    diff = replicate(diff, mesh)
+    rest = replicate(rest, mesh)
+    opt_state = replicate(optimizer.init(diff), mesh)
+
+    repl = NamedSharding(mesh, P())
+    z_sharding = NamedSharding(mesh, P(axis))
+
+    @partial(
+        jax.jit,
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1) if donate else (),
+    )
+    def step_fn(diff, opt_state, key):
+        def _loss(d):
+            return combine(d, rest).reverse_kld(
+                key, num_samples, beta=beta, score_fn=score_fn,
+                z_sharding=z_sharding,
+            )
+
+        loss, grads = jax.value_and_grad(_loss)(diff)
+        updates, new_opt_state = optimizer.update(grads, opt_state, diff)
+        new_diff = optax.apply_updates(diff, updates)
+        return new_diff, new_opt_state, loss
+
+    return step_fn, diff, rest, opt_state
+
+
 def make_eval_step(model, eval_fn: Callable, mesh: Mesh):
     """Jitted data-parallel evaluation: ``eval_fn(model, batch) -> per-batch``."""
     diff, rest = partition(model)

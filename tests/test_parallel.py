@@ -129,3 +129,37 @@ class TestChainParallel:
 
         val = loss(parallel.replicate(model, mesh), jax.random.key(5))
         assert jnp.isfinite(val)
+
+
+class TestReverseKLDStep:
+    def test_sharded_step_matches_single_device(self):
+        """make_reverse_kld_step: with partitionable threefry the sampled batch
+        is bit-identical across mesh sizes, so the sharded loss must equal the
+        single-device loss and the updated params must stay replicated."""
+        model = build_model()
+        mesh = parallel.make_mesh()
+        opt = optax.adam(1e-3)
+        key = jax.random.key(7)
+
+        # single-device reference value
+        diff0, rest = nft.partition(model)
+        loss_single = float(
+            nft.combine(diff0, rest).reverse_kld(key, 256)
+        )
+
+        step_fn, diff, rest_r, opt_state = parallel.make_reverse_kld_step(
+            jax.tree.map(jnp.copy, model), opt, mesh, 256
+        )
+        diff, opt_state, loss = step_fn(diff, opt_state, key)
+        assert_close(float(loss), loss_single, atol=1e-5, rtol=1e-5)
+        leaf = jax.tree.leaves(diff)[0]
+        assert len(leaf.sharding.device_set) == 8
+
+    def test_scaling_harness_smoke(self):
+        """bench_scaling.measure_point runs on 1 and 8 virtual devices."""
+        import bench_scaling
+
+        model = bench_scaling.build_model(num_layers=1, hidden=32)
+        r1 = bench_scaling.measure_point(model, 1, 64, iters=2, warmup=1)
+        r8 = bench_scaling.measure_point(model, 8, 64, iters=2, warmup=1)
+        assert r1 > 0 and r8 > 0

@@ -362,3 +362,486 @@ def test_realnvp_forward_kld_matches_reference():
         our_model.log_prob(jnp.asarray(x)), ref_model.log_prob(torch.tensor(x)),
         atol=1e-5, rtol=1e-5,
     )
+
+
+# ---------------------------------------------------------------------------
+# NSF wrapper stack (model-level oracle for the headline benchmark path)
+#
+# Reference: flows/neural_spline/wrapper.py:14-311, coupling.py:262-362,
+# autoregressive.py:17-134.  Our param nets use a uniform 3K+1 spline-param
+# layout per dim (coupling.py module docstring) vs the reference's ragged
+# 3K-1 (linear) / 3K (circular) / 3K+1 (per-dim list) layouts, so copying a
+# reference final layer scatters its outputs into the matching slots; slots
+# our kernel never reads stay zero.
+# ---------------------------------------------------------------------------
+
+def copy_linear(our_lin, ref_lin):
+    return our_lin.replace(weight=t2j(ref_lin.weight).T, bias=t2j(ref_lin.bias))
+
+
+def copy_masked_linear(our_lin, ref_lin):
+    """Copy weights AND mask (permute_mask draws differ between torch/np RNG)."""
+    return our_lin.replace(
+        weight=t2j(ref_lin.weight).T,
+        bias=t2j(ref_lin.bias),
+        mask=t2j(ref_lin.mask).T,
+    )
+
+
+def _final_slot_map(num_bins, tails_kind):
+    """ref slot j -> our slot, per transformed dim (uniform 3K+1 layout)."""
+    K = num_bins
+    if tails_kind == "linear":
+        m_ref, d_off = 3 * K - 1, 1   # ref ud = interior knots -> our slots 1..K-1
+    elif tails_kind == "circular":
+        m_ref, d_off = 3 * K, 0       # ref ud = K slots -> our slots 0..K-1
+    else:  # per-dim list: layouts coincide
+        m_ref, d_off = 3 * K + 1, 0
+    return m_ref, [j if j < 2 * K else 2 * K + d_off + (j - 2 * K)
+                   for j in range(m_ref)]
+
+
+def expand_final_linear(our_final, ref_final, d_tr, num_bins, tails_kind,
+                        masked=False):
+    """Scatter a ragged reference final layer into our uniform-layout layer."""
+    m_ours = 3 * num_bins + 1
+    m_ref, smap = _final_slot_map(num_bins, tails_kind)
+    rw = ref_final.weight.detach().numpy()  # (d_tr*m_ref, hidden)
+    rb = ref_final.bias.detach().numpy()
+    hidden = rw.shape[1]
+    W = np.zeros((hidden, d_tr * m_ours), np.float32)
+    B = np.zeros(d_tr * m_ours, np.float32)
+    M = np.zeros((hidden, d_tr * m_ours), np.float32) if masked else None
+    rm = ref_final.mask.detach().numpy() if masked else None
+    for d in range(d_tr):
+        for j, slot in enumerate(smap):
+            W[:, d * m_ours + slot] = rw[d * m_ref + j]
+            B[d * m_ours + slot] = rb[d * m_ref + j]
+            if masked:
+                M[:, d * m_ours + slot] = rm[d * m_ref + j]
+    out = our_final.replace(weight=jnp.asarray(W), bias=jnp.asarray(B))
+    if masked:
+        out = out.replace(mask=jnp.asarray(M))
+    return out
+
+
+def copy_resnet(our_net, ref_net, d_tr, num_bins, tails_kind):
+    """Map a reference nets.ResidualNet onto ours (resnet.py:53-104)."""
+    blocks = tuple(
+        ob.replace(
+            linear_0=copy_linear(ob.linear_0, rb.linear_layers[0]),
+            linear_1=copy_linear(ob.linear_1, rb.linear_layers[1]),
+            context_layer=(
+                copy_linear(ob.context_layer, rb.context_layer)
+                if ob.context_layer is not None else None
+            ),
+        )
+        for ob, rb in zip(our_net.blocks, ref_net.blocks)
+    )
+    our_net = our_net.replace(
+        initial_layer=copy_linear(our_net.initial_layer, ref_net.initial_layer),
+        blocks=blocks,
+        final_layer=expand_final_linear(
+            our_net.final_layer, ref_net.final_layer, d_tr, num_bins, tails_kind
+        ),
+    )
+    if our_net.preprocessing is not None:
+        our_net = our_net.replace(
+            preprocessing=our_net.preprocessing.replace(
+                weights=t2j(ref_net.preprocessing.weights)
+            )
+        )
+    return our_net
+
+
+def copy_made(our_made, ref_made, d_tr, num_bins, tails_kind):
+    """Map a reference nets.MADE onto ours, incl. masks and periodic features."""
+    blocks = tuple(
+        ob.replace(
+            linear_0=copy_masked_linear(ob.linear_0, rb.linear_layers[0]),
+            linear_1=copy_masked_linear(ob.linear_1, rb.linear_layers[1]),
+            context_layer=(
+                copy_linear(ob.context_layer, rb.context_layer)
+                if ob.context_layer is not None else None
+            ),
+        )
+        for ob, rb in zip(our_made.blocks, ref_made.blocks)
+    )
+    our_made = our_made.replace(
+        initial_layer=copy_masked_linear(our_made.initial_layer,
+                                         ref_made.initial_layer),
+        context_layer=(
+            copy_linear(our_made.context_layer, ref_made.context_layer)
+            if our_made.context_layer is not None else None
+        ),
+        blocks=blocks,
+        final_layer=expand_final_linear(
+            our_made.final_layer, ref_made.final_layer, d_tr, num_bins,
+            tails_kind, masked=True,
+        ),
+    )
+    if our_made.preprocessing is not None:
+        our_made = our_made.replace(
+            preprocessing=our_made.preprocessing.replace(
+                weights=t2j(ref_made.preprocessing.weights)
+            )
+        )
+    return our_made
+
+
+def copy_cdf(our_cdf, ref_cdf, num_bins, tails_kind):
+    """Map a reference PiecewiseRationalQuadraticCDF (coupling.py:170-259)."""
+    ud_ref = ref_cdf.unnormalized_derivatives.detach().numpy()
+    K = num_bins
+    if tails_kind == "linear":
+        ud = np.zeros((*ud_ref.shape[:-1], K + 1), np.float32)
+        ud[..., 1:K] = ud_ref
+    else:  # per-dim list: K+1 slots on both sides
+        ud = ud_ref
+    return our_cdf.replace(
+        unnormalized_widths=t2j(ref_cdf.unnormalized_widths),
+        unnormalized_heights=t2j(ref_cdf.unnormalized_heights),
+        unnormalized_derivatives=jnp.asarray(ud),
+    )
+
+
+def _assert_flow_pair_matches(ours, ref, z, atol=2e-4, rtol=2e-4, context=None):
+    tz = torch.tensor(z)
+    tc = None if context is None else torch.tensor(context)
+    jc = None if context is None else jnp.asarray(context)
+    for direction in ("forward", "inverse"):
+        zr, ldr = getattr(ref, direction)(tz, tc) if tc is not None else getattr(
+            ref, direction)(tz)
+        zo, ldo = getattr(ours, direction)(jnp.asarray(z), jc)
+        assert_close(zo, zr, atol=atol, rtol=rtol, msg=f"{direction} outputs")
+        assert_close(ldo, ldr, atol=atol, rtol=rtol, msg=f"{direction} log_det")
+
+
+def test_coupled_rqs_wrapper_matches_reference():
+    """CoupledRationalQuadraticSpline (wrapper.py:14-85), random weights."""
+    D, K, hidden, blocks = 4, 8, 32, 2
+    torch.manual_seed(0)
+    ref = ref_nf.flows.CoupledRationalQuadraticSpline(
+        D, blocks, hidden, num_bins=K, init_identity=False
+    )
+    ours = flows.CoupledRationalQuadraticSpline.create(
+        jax.random.key(0), D, blocks, hidden, num_bins=K, init_identity=False
+    )
+    d_tr = len(np.asarray(ours.prqct.transform_features))
+    ours = ours.replace(
+        prqct=ours.prqct.replace(
+            transform_net=copy_resnet(
+                ours.prqct.transform_net, ref.prqct.transform_net, d_tr, K,
+                "linear",
+            ),
+            unconditional_transform=copy_cdf(
+                ours.prqct.unconditional_transform,
+                ref.prqct.unconditional_transform, K, "linear",
+            ),
+        )
+    )
+    z = RNG.uniform(-4.0, 4.0, size=(17, D)).astype(np.float32)
+    _assert_flow_pair_matches(ours, ref, z)
+
+
+def test_circular_coupled_rqs_wrapper_matches_reference():
+    """CircularCoupledRationalQuadraticSpline (wrapper.py:88-183), scalar bound.
+
+    Scalar tail_bound only: with a tensor bound the reference indexes the
+    full-length bound vector with identity-split positions when computing the
+    periodic-feature scale (wrapper.py:136-137), which mixes up dims unless
+    they coincide; we index by actual feature id.  The tensor-bound spline
+    math itself is oracle-tested at kernel level above.
+    """
+    D, K, hidden, blocks = 3, 6, 24, 2
+    torch.manual_seed(1)
+    ref = ref_nf.flows.CircularCoupledRationalQuadraticSpline(
+        D, blocks, hidden, ind_circ=[1], num_bins=K, tail_bound=np.pi,
+        init_identity=False,
+    )
+    ours = flows.CircularCoupledRationalQuadraticSpline.create(
+        jax.random.key(0), D, blocks, hidden, ind_circ=[1], num_bins=K,
+        tail_bound=np.pi, init_identity=False,
+    )
+    d_tr = len(np.asarray(ours.prqct.transform_features))
+    ours = ours.replace(
+        prqct=ours.prqct.replace(
+            transform_net=copy_resnet(
+                ours.prqct.transform_net, ref.prqct.transform_net, d_tr, K,
+                "list",
+            ),
+            unconditional_transform=copy_cdf(
+                ours.prqct.unconditional_transform,
+                ref.prqct.unconditional_transform, K, "list",
+            ),
+        )
+    )
+    z = RNG.uniform(-3.0, 3.0, size=(13, D)).astype(np.float32)
+    _assert_flow_pair_matches(ours, ref, z)
+
+
+@pytest.mark.parametrize("with_context", [False, True])
+def test_autoregressive_rqs_wrapper_matches_reference(with_context):
+    """AutoregressiveRationalQuadraticSpline (wrapper.py:186-244)."""
+    D, K, hidden, blocks = 4, 8, 32, 2
+    ctx_ch = 3 if with_context else None
+    torch.manual_seed(2)
+    ref = ref_nf.flows.AutoregressiveRationalQuadraticSpline(
+        D, blocks, hidden, num_context_channels=ctx_ch, num_bins=K,
+        init_identity=False,
+    )
+    ours = flows.AutoregressiveRationalQuadraticSpline.create(
+        jax.random.key(0), D, blocks, hidden, num_context_channels=ctx_ch,
+        num_bins=K, init_identity=False,
+    )
+    ours = ours.replace(
+        mprqat=ours.mprqat.replace(
+            autoregressive_net=copy_made(
+                ours.mprqat.autoregressive_net, ref.mprqat.autoregressive_net,
+                D, K, "linear",
+            )
+        )
+    )
+    z = RNG.uniform(-4.0, 4.0, size=(9, D)).astype(np.float32)
+    ctx = RNG.normal(size=(9, 3)).astype(np.float32) if with_context else None
+    _assert_flow_pair_matches(ours, ref, z, context=ctx)
+
+
+def test_circular_autoregressive_rqs_wrapper_matches_reference():
+    """CircularAutoregressiveRationalQuadraticSpline — the flagship layer
+    (wrapper.py:247-311) with the cylinder config: tensor tail_bound [5, pi],
+    permute_mask=True (masks copied; torch/np permutation draws differ)."""
+    D, K, hidden, blocks = 2, 10, 64, 1
+    torch.manual_seed(3)
+    ref = ref_nf.flows.CircularAutoregressiveRationalQuadraticSpline(
+        D, blocks, hidden, ind_circ=[1], num_bins=K,
+        tail_bound=torch.tensor([5.0, np.pi]), permute_mask=True,
+        init_identity=False,
+    )
+    ours = flows.CircularAutoregressiveRationalQuadraticSpline.create(
+        jax.random.key(0), D, blocks, hidden, ind_circ=[1], num_bins=K,
+        tail_bound=jnp.array([5.0, np.pi]), permute_mask=True,
+        init_identity=False,
+    )
+    ours = ours.replace(
+        mprqat=ours.mprqat.replace(
+            autoregressive_net=copy_made(
+                ours.mprqat.autoregressive_net, ref.mprqat.autoregressive_net,
+                D, K, "list",
+            )
+        )
+    )
+    z = np.stack(
+        [RNG.uniform(-4.5, 4.5, size=11), RNG.uniform(-3.0, 3.0, size=11)],
+        axis=1,
+    ).astype(np.float32)
+    _assert_flow_pair_matches(ours, ref, z)
+
+
+def test_flagship_model_log_prob_matches_reference():
+    """Model-level oracle for the headline benchmark path: a K-layer circular
+    AR-NSF flow on the cylinder base (paper_example_nsf.ipynb config, reduced)
+    — weight-copied end to end, log_prob compared on random cylinder points."""
+    D, K_layers, K_bins, hidden = 2, 3, 10, 32
+    base_ref = ref_nf.distributions.UniformGaussian(
+        2, torch.tensor([1]), torch.tensor([1.0, 2 * np.pi])
+    )
+    base_ours = distributions.UniformGaussian.create(
+        2, [1], jnp.array([1.0, 2 * np.pi])
+    )
+    ref_layers, our_layers = [], []
+    for i in range(K_layers):
+        torch.manual_seed(10 + i)
+        rf = ref_nf.flows.CircularAutoregressiveRationalQuadraticSpline(
+            D, 1, hidden, ind_circ=[1], num_bins=K_bins,
+            tail_bound=torch.tensor([5.0, np.pi]), permute_mask=True,
+            init_identity=False,
+        )
+        of = flows.CircularAutoregressiveRationalQuadraticSpline.create(
+            jax.random.key(i), D, 1, hidden, ind_circ=[1], num_bins=K_bins,
+            tail_bound=jnp.array([5.0, np.pi]), permute_mask=True,
+            init_identity=False, rng_seed=i,
+        )
+        of = of.replace(
+            mprqat=of.mprqat.replace(
+                autoregressive_net=copy_made(
+                    of.mprqat.autoregressive_net, rf.mprqat.autoregressive_net,
+                    D, K_bins, "list",
+                )
+            )
+        )
+        ref_layers.append(rf)
+        our_layers.append(of)
+    ref_model = ref_nf.NormalizingFlow(base_ref, ref_layers)
+    our_model = nf.NormalizingFlow.create(base_ours, our_layers)
+    x = np.stack(
+        [RNG.normal(size=33), RNG.uniform(-np.pi, np.pi, size=33)], axis=1
+    ).astype(np.float32)
+    assert_close(
+        our_model.log_prob(jnp.asarray(x)),
+        ref_model.log_prob(torch.tensor(x)),
+        atol=5e-4, rtol=5e-4,
+    )
+    assert_close(
+        float(our_model.forward_kld(jnp.asarray(x))),
+        float(ref_model.forward_kld(torch.tensor(x))),
+        atol=5e-4, rtol=5e-4,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Glow stack: weight-copied GlowBlock and 2-level MultiscaleFlow oracle
+# (reference flows/affine/glow.py:11-84, core.py:455-616)
+# ---------------------------------------------------------------------------
+
+def copy_convnet(our_cnn, ref_cnn):
+    """Map reference nets.ConvNet2d (torch Sequential) onto ours; OIHW both."""
+    ref_convs = [m for m in ref_cnn.net if isinstance(m, torch.nn.Conv2d)]
+    convs = tuple(
+        oc.replace(weight=t2j(rc.weight),
+                   bias=None if rc.bias is None else t2j(rc.bias))
+        for oc, rc in zip(our_cnn.convs, ref_convs)
+    )
+    return our_cnn.replace(convs=convs)
+
+
+def _randomize_ref_glow_block(ref, gen):
+    """Give a reference GlowBlock non-trivial weights: random convs (incl. the
+    zero-init output conv), random 1x1-conv LU params, and ActNorm marked
+    initialized with random s,t (so the lazy first-batch init never fires)."""
+    with torch.no_grad():
+        for m in ref.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight.normal_(0.0, 0.1, generator=gen)
+                if m.bias is not None:
+                    m.bias.normal_(0.0, 0.1, generator=gen)
+        for f in ref.flows:
+            if isinstance(f, ref_nf.flows.ActNorm):
+                f.s.normal_(0.0, 0.2, generator=gen)
+                f.t.normal_(0.0, 0.2, generator=gen)
+                f.data_dep_init_done.fill_(1.0)
+
+
+def copy_glow_block(ours, ref):
+    """Weight-copy a reference GlowBlock (coupling + 1x1 conv + ActNorm)."""
+    new_flows = []
+    for of, rf in zip(ours.flows, ref.flows):
+        if isinstance(rf, ref_nf.flows.AffineCouplingBlock):
+            coupling = of.coupling.replace(
+                param_map=copy_convnet(
+                    of.coupling.param_map, rf.flows[1].param_map
+                )
+            )
+            new_flows.append(of.replace(coupling=coupling))
+        elif isinstance(rf, ref_nf.flows.Invertible1x1Conv):
+            new_flows.append(
+                of.replace(P=t2j(rf.P), L=t2j(rf.L), U=t2j(rf.U),
+                           sign_S=t2j(rf.sign_S), log_S=t2j(rf.log_S))
+            )
+        elif isinstance(rf, ref_nf.flows.ActNorm):
+            new_flows.append(
+                of.replace(s=t2j(rf.s), t=t2j(rf.t),
+                           initialized=jnp.ones((), jnp.bool_))
+            )
+        else:
+            raise AssertionError(f"unexpected reference layer {type(rf)}")
+    return ours.replace(flows=tuple(new_flows))
+
+
+@pytest.mark.parametrize("channels,split_mode", [(4, "channel"), (3, "channel")])
+def test_glow_block_matches_reference(channels, split_mode):
+    torch.manual_seed(4)
+    gen = torch.Generator().manual_seed(4)
+    ref = ref_nf.flows.GlowBlock(channels, 16, split_mode=split_mode)
+    _randomize_ref_glow_block(ref, gen)
+    ours = flows.GlowBlock.create(jax.random.key(0), channels, 16,
+                                  split_mode=split_mode)
+    ours = copy_glow_block(ours, ref)
+    z = RNG.normal(size=(2, channels, 4, 4)).astype(np.float32)
+    for direction in ("forward", "inverse"):
+        zr, ldr = getattr(ref, direction)(torch.tensor(z))
+        zo, ldo = getattr(ours, direction)(jnp.asarray(z))
+        assert_close(zo, zr, atol=2e-4, rtol=2e-4, msg=f"{direction} outputs")
+        assert_close(ldo, ldr, atol=2e-4, rtol=2e-4, msg=f"{direction} log_det")
+
+
+def _build_glow_pair(L=2, K=2, channels=3, hw=8, hidden=16, num_classes=4):
+    """Mirrored reference/our multiscale Glow models (glow.ipynb config,
+    reduced), weight-copied, with randomized (non-trivial) parameters."""
+    gen = torch.Generator().manual_seed(7)
+    input_shape = (channels, hw, hw)
+    ref_q0, ref_flows, ref_merges = [], [], []
+    our_q0, our_flows, our_merges = [], [], []
+    for i in range(L):
+        rfs, ofs = [], []
+        for j in range(K):
+            ch = channels * 2 ** (L + 1 - i)
+            rb = ref_nf.flows.GlowBlock(ch, hidden)
+            _randomize_ref_glow_block(rb, gen)
+            ob = copy_glow_block(
+                flows.GlowBlock.create(jax.random.key(i * K + j), ch, hidden), rb
+            )
+            rfs.append(rb)
+            ofs.append(ob)
+        rfs.append(ref_nf.flows.Squeeze())
+        ofs.append(flows.Squeeze())
+        ref_flows.append(rfs)
+        our_flows.append(ofs)
+        if i > 0:
+            ref_merges.append(ref_nf.flows.Merge())
+            our_merges.append(flows.Merge())
+            latent_shape = (
+                input_shape[0] * 2 ** (L - i),
+                input_shape[1] // 2 ** (L - i),
+                input_shape[2] // 2 ** (L - i),
+            )
+        else:
+            latent_shape = (
+                input_shape[0] * 2 ** (L + 1),
+                input_shape[1] // 2 ** L,
+                input_shape[2] // 2 ** L,
+            )
+        rq = ref_nf.distributions.ClassCondDiagGaussian(latent_shape, num_classes)
+        with torch.no_grad():
+            rq.loc.normal_(0.0, 0.3, generator=gen)
+            rq.log_scale.normal_(0.0, 0.2, generator=gen)
+        oq = distributions.ClassCondDiagGaussian.create(
+            latent_shape, num_classes
+        ).replace(loc=t2j(rq.loc), log_scale=t2j(rq.log_scale))
+        ref_q0.append(rq)
+        our_q0.append(oq)
+    ref_model = ref_nf.MultiscaleFlow(ref_q0, ref_flows, ref_merges)
+    our_model = nf.MultiscaleFlow.create(our_q0, our_flows, our_merges)
+    return ref_model, our_model, input_shape
+
+
+def test_multiscale_glow_log_prob_matches_reference():
+    """2-level Glow MultiscaleFlow.log_prob + forward_kld oracle (core.py:588-616)."""
+    ref_model, our_model, input_shape = _build_glow_pair()
+    B = 5
+    x = RNG.normal(size=(B, *input_shape)).astype(np.float32)
+    y = RNG.integers(0, 4, size=B)
+    lp_ref = ref_model.log_prob(torch.tensor(x), torch.tensor(y))
+    lp_our = our_model.log_prob(jnp.asarray(x), jnp.asarray(y))
+    assert_close(lp_our, lp_ref, atol=5e-3, rtol=5e-4)
+    kld_ref = float(ref_model.forward_kld(torch.tensor(x), torch.tensor(y)))
+    kld_our = float(our_model.forward_kld(jnp.asarray(x), jnp.asarray(y)))
+    assert_close(kld_our, kld_ref, atol=5e-4, rtol=5e-4)
+
+
+def test_multiscale_glow_latent_roundtrip_matches_reference():
+    """inverse_and_log_det -> forward_and_log_det parity on the latent list
+    (core.py:504-551)."""
+    ref_model, our_model, input_shape = _build_glow_pair()
+    B = 3
+    x = RNG.normal(size=(B, *input_shape)).astype(np.float32)
+    z_ref, ld_ref = ref_model.inverse_and_log_det(torch.tensor(x))
+    z_our, ld_our = our_model.inverse_and_log_det(jnp.asarray(x))
+    assert len(z_ref) == len(z_our)
+    for zr, zo in zip(z_ref, z_our):
+        assert_close(zo, zr, atol=2e-4, rtol=2e-4)
+    assert_close(ld_our, ld_ref, atol=5e-3, rtol=5e-4)
+    x_ref, fld_ref = ref_model.forward_and_log_det([torch.tensor(np.asarray(z)) for z in z_our])
+    x_our, fld_our = our_model.forward_and_log_det(list(z_our))
+    assert_close(x_our, x_ref, atol=2e-4, rtol=2e-4)
+    assert_close(x_our, x, atol=2e-4, rtol=2e-4)

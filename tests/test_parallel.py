@@ -163,3 +163,55 @@ class TestReverseKLDStep:
         r1 = bench_scaling.measure_point(model, 1, 64, iters=2, warmup=1)
         r8 = bench_scaling.measure_point(model, 8, 64, iters=2, warmup=1)
         assert r1 > 0 and r8 > 0
+
+
+class TestShardedGlow:
+    """NCHW image model under a sharded batch axis: Squeeze's 6-D reshapes,
+    channel Split/Merge, conv param maps, and class-conditional bases must
+    commute with batch sharding (the conv half of the sharding story)."""
+
+    def _model_and_data(self, batch=16):
+        from tests.test_glow_multiscale import build_glow
+
+        model = build_glow(L=2, K=2, hidden=16, input_shape=(3, 8, 8))
+        x = jax.random.uniform(jax.random.key(20), (batch, 3, 8, 8),
+                               minval=0.01, maxval=0.99)
+        y = jax.random.randint(jax.random.key(21), (batch,), 0, 10)
+        return model.init_actnorm(x, y), x, y
+
+    def test_sharded_loss_and_grads_match_single_device(self):
+        model, x, y = self._model_and_data()
+        mesh = parallel.make_mesh()
+        diff, rest = nft.partition(model)
+
+        loss1 = float(nft.combine(diff, rest).forward_kld(x, y))
+        g1 = jax.grad(lambda d: nft.combine(d, rest).forward_kld(x, y))(diff)
+
+        xs = parallel.shard_batch(x, mesh)
+        ys = parallel.shard_batch(y, mesh)
+        loss2 = float(jax.jit(lambda m, a, b: m.forward_kld(a, b))(model, xs, ys))
+        assert_close(loss2, loss1, atol=1e-5, rtol=1e-5)
+
+        g2 = jax.jit(
+            lambda d, a, b: jax.grad(
+                lambda dd: nft.combine(dd, rest).forward_kld(a, b)
+            )(d)
+        )(diff, xs, ys)
+        for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+            assert_close(a, b, atol=1e-5, rtol=1e-4)
+
+    def test_sharded_train_step(self):
+        """Full data-parallel Glow train step keeps params replicated and
+        the loss finite (inverse convs + Merge under sharding)."""
+        model, x, y = self._model_and_data()
+        mesh = parallel.make_mesh()
+        opt = optax.adamax(1e-3)
+
+        step_fn, diff, rest, opt_state = parallel.make_data_parallel_step(
+            model, opt, lambda m, batch, key: m.forward_kld(*batch), mesh
+        )
+        batch = (parallel.shard_batch(x, mesh), parallel.shard_batch(y, mesh))
+        diff, opt_state, loss = step_fn(diff, opt_state, batch, jax.random.key(0))
+        assert jnp.isfinite(loss)
+        leaf = jax.tree.leaves(diff)[0]
+        assert len(leaf.sharding.device_set) == 8

@@ -12,7 +12,6 @@ numbers of its own).
 Prints ONE JSON line.
 """
 
-import functools
 import json
 import time
 
@@ -24,6 +23,7 @@ import optax
 import normflows_tpu as nf
 from normflows_tpu import flows, distributions
 from normflows_tpu.utils import enable_compilation_cache
+from normflows_tpu.utils.profiling import chip_peak_flops
 
 BASELINE_SAMPLES_PER_SEC = 535.2  # see BASELINE_MEASURED.json
 
@@ -54,7 +54,6 @@ def main():
     opt_state = opt.init(diff)
     num_samples = 2**14
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(diff, opt_state, key):
         loss, grads = jax.value_and_grad(
             lambda d: nf.combine(d, rest).reverse_kld(key, num_samples)
@@ -63,21 +62,31 @@ def main():
         return optax.apply_updates(diff, updates), opt_state, loss
 
     key = jax.random.key(0)
-    # compile + warmup
+    # AOT-compile so the MFU accounting comes from the SAME executable we time
+    compiled = (
+        jax.jit(step, donate_argnums=(0, 1)).lower(diff, opt_state, key).compile()
+    )
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
+    flops_per_step = float(ca.get("flops", 0.0))
+
+    # warmup
     for _ in range(4):
         key, sub = jax.random.split(key)
-        diff, opt_state, loss = step(diff, opt_state, sub)
+        diff, opt_state, loss = compiled(diff, opt_state, sub)
     jax.block_until_ready(loss)
 
     iters = 30
     t0 = time.time()
     for _ in range(iters):
         key, sub = jax.random.split(key)
-        diff, opt_state, loss = step(diff, opt_state, sub)
+        diff, opt_state, loss = compiled(diff, opt_state, sub)
     jax.block_until_ready(loss)
     dt = (time.time() - t0) / iters
 
     samples_per_sec = num_samples / dt
+    peak = chip_peak_flops()
+    mfu = flops_per_step / dt / peak
     print(
         json.dumps(
             {
@@ -85,6 +94,7 @@ def main():
                 "value": round(samples_per_sec, 1),
                 "unit": "samples/s/chip",
                 "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
+                "mfu": round(mfu, 4) if mfu == mfu else None,
             }
         )
     )

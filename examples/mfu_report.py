@@ -1,0 +1,153 @@
+"""MFU report: achieved-FLOPs / peak ratio for the headline training steps.
+
+Prints one JSON line per model with XLA's static FLOP count for the compiled
+step (``utils.profiling.cost_report`` semantics, but taken from the SAME
+compiled executable that is timed, so the accounting matches the measurement),
+the measured step time, achieved FLOP/s, and MFU against the chip's dense
+bf16 matmul peak.
+
+Run on the real chip:
+    env PYTHONPATH="/root/.axon_site:/root/repo" python examples/mfu_report.py
+CPU fallback (plumbing check only; MFU vs TPU peak is meaningless there):
+    env -u PYTHONPATH JAX_PLATFORMS=cpu PYTHONPATH=/root/repo \
+        python examples/mfu_report.py --iters 3 --tiny
+"""
+
+import argparse
+import functools
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+import normflows_tpu as nf
+from normflows_tpu.utils import enable_compilation_cache
+from normflows_tpu.utils.profiling import chip_peak_flops
+
+
+def timed_compiled_step(step_fn, args, iters, warmup=3, donate=(0, 1)):
+    """AOT-compile, pull cost analysis from the SAME executable, then time it."""
+    jitted = jax.jit(step_fn, donate_argnums=donate)
+    compiled = jitted.lower(*args).compile()
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+
+    # every step returns (diff, opt_state, loss): first 2 outputs are state
+    state = args
+    for _ in range(warmup):
+        out = compiled(*state)
+        state = out[:2] + state[2:]
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = compiled(*state)
+        state = out[:2] + state[2:]
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return flops, byts, dt
+
+
+def flagship_case(tiny, iters):
+    """NSF-cylinder reverse-KLD step (bench.py config, bf16 compute)."""
+    import bench
+
+    model = bench.build_model() if not tiny else None
+    if tiny:
+        from normflows_tpu import flows, distributions
+
+        base = distributions.UniformGaussian.create(
+            2, [1], jnp.array([1.0, 2 * np.pi]))
+        layers = [
+            flows.CircularAutoregressiveRationalQuadraticSpline.create(
+                jax.random.key(i), 2, 1, 64, ind_circ=[1], num_bins=10,
+                tail_bound=jnp.array([5.0, np.pi]), permute_mask=True, rng_seed=i)
+            for i in range(2)
+        ]
+        model = nf.NormalizingFlow.create(
+            base, layers, p=distributions.GaussianVonMises())
+    model = nf.utils.set_compute_dtype(model, "bfloat16")
+    opt = optax.adam(5e-4)
+    diff, rest = nf.partition(model)
+    opt_state = opt.init(diff)
+    num_samples = 2**14 if not tiny else 256
+
+    def step(diff, opt_state, key):
+        loss, grads = jax.value_and_grad(
+            lambda d: nf.combine(d, rest).reverse_kld(key, num_samples)
+        )(diff)
+        updates, opt_state = opt.update(grads, opt_state, diff)
+        return optax.apply_updates(diff, updates), opt_state, loss
+
+    flops, byts, dt = timed_compiled_step(
+        step, (diff, opt_state, jax.random.key(0)), iters)
+    return "nsf_cylinder_train_step", flops, byts, dt, num_samples
+
+
+def glow_case(tiny, iters):
+    """Glow forward-KLD step (glow.ipynb headline config: L=3 K=16 h=256)."""
+    from examples.glow_image import build_glow
+
+    if tiny:
+        L, K, hidden, hw, batch = 2, 2, 32, 8, 8
+    else:
+        L, K, hidden, hw, batch = 3, 16, 256, 32, 128
+    model = build_glow(L, K, hidden, (3, hw, hw), 10)
+    model = nf.utils.set_compute_dtype(model, "bfloat16")
+    x = jax.random.uniform(jax.random.key(1), (batch, 3, hw, hw),
+                           minval=0.01, maxval=0.99)
+    y = jax.random.randint(jax.random.key(2), (batch,), 0, 10)
+    model = model.init_actnorm(x, y)
+    opt = optax.chain(optax.add_decayed_weights(1e-5), optax.adamax(1e-3))
+    diff, rest = nf.partition(model)
+    opt_state = opt.init(diff)
+
+    def step(diff, opt_state, x, y):
+        loss, grads = jax.value_and_grad(
+            lambda d: nf.combine(d, rest).forward_kld(x, y))(diff)
+        updates, opt_state = opt.update(grads, opt_state, diff)
+        return optax.apply_updates(diff, updates), opt_state, loss
+
+    flops, byts, dt = timed_compiled_step(
+        step, (diff, opt_state, x, y), iters)
+    return "glow_train_step", flops, byts, dt, batch
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--only", choices=["flagship", "glow"], default=None)
+    args = ap.parse_args()
+    enable_compilation_cache()
+
+    dev = jax.devices()[0]
+    peak = chip_peak_flops(dev)
+    cases = []
+    if args.only in (None, "flagship"):
+        cases.append(flagship_case(args.tiny, args.iters))
+    if args.only in (None, "glow"):
+        cases.append(glow_case(args.tiny, args.iters))
+
+    for name, flops, byts, dt, items in cases:
+        achieved = flops / dt
+        print(json.dumps({
+            "step": name,
+            "device": dev.device_kind,
+            "flops_per_step": flops,
+            "bytes_per_step": byts,
+            "arithmetic_intensity": round(flops / byts, 2) if byts else None,
+            "ms_per_iter": round(dt * 1e3, 3),
+            "items_per_sec": round(items / dt, 1),
+            "achieved_tflops": round(achieved / 1e12, 3),
+            "peak_bf16_tflops": round(peak / 1e12, 1) if peak == peak else None,
+            "mfu": round(achieved / peak, 4) if peak == peak else None,
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

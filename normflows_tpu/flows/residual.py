@@ -10,13 +10,18 @@ there from rtqichen/residual-flows).  JAX/TPU mappings:
   * ``neumann_logdet_estimator`` (residual.py:368-379) -> same, with the
     Neumann accumulation under ``stop_gradient`` and one differentiable final
     pullback (the gradient estimator of the residual-flow paper);
-  * russian-roulette unbiased truncation (residual.py:163-198): n is sampled
-    with ``jax.random`` (explicit key), the power series runs to a *static*
-    cap ``n_power_series_max`` with per-term coefficients
-    ``P-hat(N >= k) / P(N >= k)`` that vanish beyond the sampled horizon —
-    static shapes for XLA, unbiased up to the cap (tail beyond the cap is
-    truncated; the cap is configurable and its default covers the geometric
-    tail to ~1e-5);
+  * russian-roulette truncation (residual.py:163-198): n is sampled with
+    ``jax.random`` (explicit key).  The TRAINING default (Neumann gradient
+    estimator) runs the detached series in a ``lax.while_loop`` to the sampled
+    horizon itself — UNBOUNDED, exactly unbiased like the reference
+    (``neumann_logdet_estimator_dynamic``); the loop is legal under ``grad``
+    because every pullback inside it goes through a parameter/input-stopped
+    net, leaving only the single attached final pullback outside.  The basic
+    (fully differentiable) estimator and the eval path still use a *static*
+    cap ``n_power_series_max`` with coefficients that vanish beyond the
+    sampled horizon (reverse-mode AD cannot enter a while_loop; the cap's
+    geometric tail is ~1e-5 at the default and ~1e-12 at eval's 42 terms,
+    quantified in tests/test_residual.py);
   * the ``MemoryEfficientLogDetEstimator`` backward-in-forward trick
     (residual.py:282-352) -> ``jax.checkpoint`` (rematerialization) around the
     estimator: same peak-memory goal, idiomatic XLA;
@@ -113,6 +118,65 @@ def neumann_logdet_estimator(apply_fn, x, vareps, coeffs, kmax):
         neumann_vjp = neumann_vjp + ((-1.0) ** k) * coeffs[k - 1] * vjp
     neumann_vjp = jax.lax.stop_gradient(neumann_vjp)
     vjp_jac = vjp_fn(neumann_vjp)[0]
+    logdet = sum_except_batch(vjp_jac * vareps)
+    return g, logdet
+
+
+def _rr_coeff(k, n_arr, offset, n_dist, geom_p, lamb):
+    """Russian-roulette coefficient for series term ``k`` (1-indexed), uncapped.
+
+    ``E_n[1{n >= k - offset}] / P(N >= k - offset)`` — the same quantity
+    ``_series_coeffs`` tabulates, computed on the fly from closed forms so the
+    series can run to the SAMPLED horizon with no static cap.  Poisson tail
+    via the regularized lower incomplete gamma: P(Pois(λ) >= m) = P(m, λ).
+    """
+    m = k - offset
+    ind = jnp.mean((n_arr >= m).astype(jnp.float32))
+    if n_dist == "geometric":
+        rcdf = jnp.where(
+            m <= 0, 1.0, (1.0 - geom_p) ** jnp.maximum(m - 1, 0))
+    else:  # poisson
+        rcdf = jnp.where(
+            m <= 0, 1.0,
+            jax.scipy.special.gammainc(
+                jnp.maximum(m, 1).astype(jnp.float32), lamb),
+        )
+    return ind / rcdf
+
+
+def neumann_logdet_estimator_dynamic(
+    apply_fn, apply_fn_sg, x, vareps, n_arr, offset, n_dist, geom_p, lamb
+):
+    """UNBOUNDED russian-roulette Neumann estimator (residual.py:368-379 with
+    the reference's unbounded N, residual.py:163-198).
+
+    The detached series runs in a ``lax.while_loop`` to the sampled horizon
+    ``offset + max(n)`` — no static cap, so the estimator is exactly unbiased
+    like the reference's.  Differentiability: the loop computes pullbacks
+    through a parameter- and input-stopped copy of the net (``apply_fn_sg``),
+    so it sits entirely off the tangent path (while_loop has no transpose
+    rule); the single attached pullback at the end carries all gradients —
+    the same split the static Neumann estimator makes termwise.
+    """
+    g, vjp_fn = jax.vjp(apply_fn, x)
+    x_sg = jax.lax.stop_gradient(x)
+    _, vjp_fn_sg = jax.vjp(apply_fn_sg, x_sg)
+    k_end = offset + jnp.max(n_arr).astype(jnp.int32)
+
+    def cond(c):
+        return c[0] <= k_end
+
+    def body(c):
+        k, vjp, acc = c
+        vjp = vjp_fn_sg(vjp)[0]
+        coeff = _rr_coeff(k, n_arr, offset, n_dist, geom_p, lamb)
+        sign = jnp.where(k % 2 == 0, 1.0, -1.0)
+        return k + 1, vjp, acc + sign * coeff * vjp
+
+    v0 = jax.lax.stop_gradient(vareps)
+    _, _, neumann_vjp = jax.lax.while_loop(
+        cond, body, (jnp.asarray(1, jnp.int32), v0, v0))
+    vjp_jac = vjp_fn(jax.lax.stop_gradient(neumann_vjp))[0]
     logdet = sum_except_batch(vjp_jac * vareps)
     return g, logdet
 
@@ -224,6 +288,29 @@ class iResBlock(Module):
         kn, ke = (None, None) if key is None else jax.random.split(key)
 
         geom_p = jax.nn.sigmoid(self.geom_p_logit)
+
+        if (self.train and self.n_power_series is None and self.neumann_grad
+                and not self.exact_trace):
+            # training default: UNBOUNDED russian roulette — series length is
+            # the sampled horizon itself, exactly unbiased like the reference
+            if self.n_dist == "geometric":
+                n_arr = jax.random.geometric(kn, geom_p, (self.n_samples,))
+            elif self.n_dist == "poisson":
+                n_arr = jax.random.poisson(kn, self.lamb, (self.n_samples,))
+            else:
+                raise NotImplementedError(self.n_dist)
+            vareps = jax.random.normal(ke, x.shape, x.dtype)
+            apply_fn_sg = jax.tree.map(jax.lax.stop_gradient, self.nnet)
+
+            def est(x_):
+                return neumann_logdet_estimator_dynamic(
+                    apply_fn, apply_fn_sg, x_, vareps, n_arr,
+                    self.n_exact_terms, self.n_dist, geom_p, self.lamb,
+                )
+
+            if self.grad_in_forward:
+                est = jax.checkpoint(est)
+            return est(x)
 
         if self.train and self.n_power_series is not None:
             kmax = self.n_power_series

@@ -14,7 +14,11 @@ from .data_parallel import (
     make_reverse_kld_step,
 )
 from .chains import shard_chains, parallel_chain_sample
-from .distributed import initialize_distributed, process_local_batch
+from .distributed import (
+    initialize_distributed,
+    local_device_batch,
+    process_local_batch,
+)
 
 __all__ = [
     "make_mesh",
@@ -26,5 +30,6 @@ __all__ = [
     "shard_chains",
     "parallel_chain_sample",
     "initialize_distributed",
+    "local_device_batch",
     "process_local_batch",
 ]

@@ -20,20 +20,25 @@ def initialize_distributed(
 ):
     """Initialize multi-host JAX.  No-ops on single-process setups.
 
-    On TPU pods the arguments are auto-detected from the environment; pass
-    them explicitly for CPU/GPU clusters.
+    On TPU pods the arguments are auto-detected from the environment (the
+    no-argument path, where a failed auto-detect is tolerated and means
+    single-process).  With an explicit ``coordinator_address`` the caller has
+    asserted a cluster exists, so initialization errors PROPAGATE — silently
+    training on 1/N of the data is the worst possible failure mode.
     """
-    if jax.process_count() > 1:
-        return  # already initialized
+    # NB: must not touch the XLA backend (jax.devices/process_count) before
+    # jax.distributed.initialize — that pins a single-process backend.
+    if jax.distributed.is_initialized():
+        return
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        return
     try:
-        if coordinator_address is None:
-            jax.distributed.initialize()
-        else:
-            jax.distributed.initialize(
-                coordinator_address=coordinator_address,
-                num_processes=num_processes,
-                process_id=process_id,
-            )
+        jax.distributed.initialize()
     except (ValueError, RuntimeError):
         # single-process environment (e.g. local CPU testing)
         pass

@@ -90,6 +90,31 @@ def capture(logdir: str, **kwargs):
 # Compiled-program cost reporting
 # --------------------------------------------------------------------------
 
+# Dense bf16 matmul peak FLOP/s per chip (all cores), by device_kind substring
+# (order matters: first match wins).
+PEAK_BF16_FLOPS = (
+    ("v6", 918e12),       # Trillium / v6e
+    ("v5p", 459e12),
+    ("v5", 197e12),       # v5e / "TPU v5 lite"
+    ("v4", 275e12),
+    ("v3", 123e12),
+    ("v2", 46e12),
+)
+
+
+def chip_peak_flops(device=None) -> float:
+    """Dense-bf16 peak FLOP/s for ``device`` (default: first local device).
+
+    Returns NaN for unknown kinds (e.g. CPU) so MFU ratios propagate NaN
+    instead of silently reporting against the wrong peak.
+    """
+    device = device if device is not None else jax.devices()[0]
+    kind = device.device_kind.lower()
+    for tag, peak in PEAK_BF16_FLOPS:
+        if tag in kind:
+            return peak
+    return float("nan")
+
 def cost_report(fn: Callable, *args, **kwargs) -> Mapping[str, Any]:
     """Compile ``fn(*args)`` and report XLA's static cost analysis.
 

@@ -14,6 +14,12 @@ from .data_parallel import (
     make_reverse_kld_step,
 )
 from .chains import shard_chains, parallel_chain_sample
+from .tensor_parallel import (
+    tp_shardings,
+    fsdp_shardings,
+    make_tensor_parallel_step,
+    make_fsdp_step,
+)
 from .distributed import (
     initialize_distributed,
     local_device_batch,
@@ -29,6 +35,10 @@ __all__ = [
     "make_reverse_kld_step",
     "shard_chains",
     "parallel_chain_sample",
+    "tp_shardings",
+    "fsdp_shardings",
+    "make_tensor_parallel_step",
+    "make_fsdp_step",
     "initialize_distributed",
     "local_device_batch",
     "process_local_batch",

@@ -14,6 +14,7 @@ from .data_parallel import (
     make_reverse_kld_step,
 )
 from .chains import shard_chains, parallel_chain_sample
+from .pipeline import make_pipeline_apply
 from .tensor_parallel import (
     tp_shardings,
     fsdp_shardings,
@@ -35,6 +36,7 @@ __all__ = [
     "make_reverse_kld_step",
     "shard_chains",
     "parallel_chain_sample",
+    "make_pipeline_apply",
     "tp_shardings",
     "fsdp_shardings",
     "make_tensor_parallel_step",

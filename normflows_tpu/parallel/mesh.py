@@ -44,9 +44,16 @@ def shard_batch(x, mesh: Mesh, axis: str = "data"):
 
 
 def replicate(tree, mesh: Mesh):
-    """Fully replicate a pytree (model/opt state) across the mesh."""
+    """Fully replicate a pytree (model/opt state) across the mesh.
+
+    Placement goes through a jit identity rather than ``device_put``:
+    device_put may ALIAS the caller's buffers when source and target
+    placement coincide, and a later donating step would then delete the
+    caller's arrays out from under them; jit without donation always
+    materializes fresh buffers.
+    """
     sharding = NamedSharding(mesh, P())
-    return jax.device_put(tree, sharding)
+    return jax.jit(lambda t: t, out_shardings=sharding)(tree)
 
 
 def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:

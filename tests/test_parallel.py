@@ -215,3 +215,36 @@ class TestShardedGlow:
         assert jnp.isfinite(loss)
         leaf = jax.tree.leaves(diff)[0]
         assert len(leaf.sharding.device_set) == 8
+
+
+class TestReplicatePlacementSafety:
+    def test_donated_step_does_not_consume_callers_model(self):
+        """replicate() must copy: a donated step call must not delete the
+        caller's model arrays via device_put buffer aliasing."""
+        import normflows_tpu as nft
+        from normflows_tpu import flows, distributions
+
+        layers = [
+            flows.MaskedAffineFlow.create(
+                jnp.array([i % 2, (i + 1) % 2], dtype=jnp.float32),
+                t=nft.nets.MLP.create(jax.random.key(i), [2, 16, 2],
+                                      init_zeros=True),
+                s=None,
+            )
+            for i in range(2)
+        ]
+        model = nft.NormalizingFlow.create(
+            distributions.DiagGaussian.create(2), layers)
+        mesh = parallel.make_mesh()
+        step_fn, diff, rest, opt_state = parallel.make_data_parallel_step(
+            model, optax.adam(1e-3), lambda m, b, key: m.forward_kld(b), mesh)
+        batch = parallel.shard_batch(
+            jax.random.normal(jax.random.key(1), (16, 2)), mesh)
+        step_fn(diff, opt_state, batch, jax.random.key(0))
+        assert all(
+            not x.is_deleted() for x in jax.tree.leaves(model)
+            if hasattr(x, "is_deleted")
+        )
+        # and a second factory over the SAME model still works
+        parallel.make_data_parallel_step(
+            model, optax.adam(1e-3), lambda m, b, key: m.forward_kld(b), mesh)

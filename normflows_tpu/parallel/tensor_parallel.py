@@ -23,9 +23,12 @@ Megatron pattern as applied here (per param net):
   is row-parallel (contracts the hidden dim, one psum).  The mask/degree
   buffers stay replicated — XLA slices the replicated mask against the
   sharded weight in the elementwise ``weight * mask``.
-* Everything else (conv kernels, Lipschitz nets with power-iteration state,
-  scalars) is replicated: at flow-model sizes those layers are
-  bandwidth-trivial and batch sharding is the right axis for them.
+* ``ConvNet2d`` (nets/cnn.py, Glow coupling nets) — convs alternate
+  **column**- (out-channel, OIHW dim 0) and **row**- (in-channel, dim 1)
+  parallel; the tiny per-channel ActNorms stay replicated.
+* Everything else (Lipschitz nets with power-iteration state, scalars) is
+  replicated: at flow-model sizes those layers are bandwidth-trivial and
+  batch sharding is the right axis for them.
 
 A dim is only sharded when it is divisible by the model-axis size and at
 least ``min_dim`` wide; otherwise that layer falls back to replicated, so
@@ -102,6 +105,18 @@ def _linear_spec(lin, axis, size, min_dim, col):
     return P(axis, None), P()
 
 
+def _conv_spec(conv, axis, size, min_dim, col):
+    """(weight_spec, bias_spec) for an OIHW Conv2d, col- (out-channel) or
+    row- (in-channel) parallel; replicated fallback when indivisible."""
+    w = conv.weight
+    dim = w.shape[0] if col else w.shape[1]
+    if dim % size != 0 or dim < min_dim:
+        return P(), P()
+    if col:
+        return P(axis, None, None, None), P(axis)
+    return P(None, axis, None, None), P()
+
+
 def _tp_spec_tree(tree, axis, size, min_dim):
     """Structure-mirrored PartitionSpec tree implementing the rules above."""
 
@@ -111,6 +126,22 @@ def _tp_spec_tree(tree, axis, size, min_dim):
     def rec(x):
         if isinstance(x, Module):
             name = type(x).__name__
+            if name == "ConvNet2d":
+                obj = object.__new__(type(x))
+                for f in dataclasses.fields(x):
+                    val = getattr(x, f.name)
+                    if f.metadata.get(_STATIC):
+                        object.__setattr__(obj, f.name, val)
+                    elif f.name == "convs":
+                        shards = tuple(
+                            _linear_shell(c, _conv_spec(
+                                c, axis, size, min_dim, col=(i % 2 == 0)))
+                            for i, c in enumerate(val)
+                        )
+                        object.__setattr__(obj, f.name, shards)
+                    else:  # actnorms: tiny per-channel params, replicated
+                        object.__setattr__(obj, f.name, replicated(val))
+                return obj
             if name == "MLP":
                 obj = object.__new__(type(x))
                 for f in dataclasses.fields(x):

@@ -1,0 +1,140 @@
+"""Model export for production serving (no reference counterpart).
+
+The reference deploys by unpickling a torch module and running Python
+(core.py:199-214 ``save``/``load``); the TPU-native serving path instead
+freezes a
+trained flow into **serialized StableHLO executables** via ``jax.export``:
+parameters are baked in as constants, the artifact is a self-contained
+bytestring that any later JAX process (same or newer jaxlib, any supported
+platform it was exported for) can deserialize and call — no model code, no
+pickle, no Python class versioning.
+
+Two entry points are exported per model:
+
+* ``sample(seed)`` — ``num_samples`` draws plus their log-probs from one
+  ``uint32`` seed (keys are created inside the graph, so the serving
+  surface is plain arrays only);
+* ``log_prob(x)`` — densities for a data batch; the batch dim is exported
+  **symbolically** (``jax.export.symbolic_shape``), so one artifact serves
+  any batch size.
+
+Use :func:`save_bundle` / :func:`load_bundle` for a directory layout with a
+JSON manifest, or :func:`export_sampler` / :func:`export_log_prob` for the
+raw ``jax.export.Exported`` objects.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+__all__ = [
+    "export_sampler",
+    "export_log_prob",
+    "save_bundle",
+    "load_bundle",
+]
+
+
+def _platforms(platforms):
+    if platforms is None:
+        return None  # default: current backend
+    return tuple(platforms)
+
+
+def export_sampler(
+    model,
+    num_samples: int,
+    platforms: Optional[Sequence[str]] = None,
+):
+    """Export ``seed -> (samples, log_q)`` with params baked in.
+
+    ``seed`` is a uint32 scalar; the PRNG key is built inside the graph so
+    the exported calling convention is arrays-only.
+    """
+
+    def sample(seed):
+        return model.sample_and_log_prob(jax.random.key(seed), num_samples)
+
+    seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
+    return jax_export.export(
+        jax.jit(sample), platforms=_platforms(platforms))(seed_spec)
+
+
+def export_log_prob(
+    model,
+    event_shape: Sequence[int],
+    platforms: Optional[Sequence[str]] = None,
+    symbolic_batch: bool = True,
+):
+    """Export ``x -> log_prob(x)`` with a symbolic batch dimension."""
+    if symbolic_batch:
+        (b,) = jax_export.symbolic_shape("b")
+        x_spec = jax.ShapeDtypeStruct((b, *event_shape), jnp.float32)
+    else:
+        x_spec = jax.ShapeDtypeStruct((1, *event_shape), jnp.float32)
+    return jax_export.export(
+        jax.jit(model.log_prob), platforms=_platforms(platforms))(x_spec)
+
+
+def save_bundle(
+    model,
+    path: str,
+    num_samples: int,
+    event_shape: Sequence[int],
+    platforms: Optional[Sequence[str]] = None,
+    symbolic_batch: bool = True,
+):
+    """Write a serving bundle: ``sample.bin``, ``log_prob.bin``,
+    ``manifest.json`` under ``path``."""
+    os.makedirs(path, exist_ok=True)
+    smp = export_sampler(model, num_samples, platforms)
+    lp = export_log_prob(model, event_shape, platforms, symbolic_batch)
+    with open(os.path.join(path, "sample.bin"), "wb") as f:
+        f.write(smp.serialize())
+    with open(os.path.join(path, "log_prob.bin"), "wb") as f:
+        f.write(lp.serialize())
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(
+            {
+                "num_samples": num_samples,
+                "event_shape": list(event_shape),
+                "platforms": list(smp.platforms),
+                "symbolic_batch": symbolic_batch,
+                "calling_convention_version":
+                    smp.calling_convention_version,
+            },
+            f,
+            indent=2,
+        )
+
+
+class ServingBundle:
+    """Deserialized serving endpoints: ``.sample(seed)``, ``.log_prob(x)``."""
+
+    def __init__(self, sample_exp, log_prob_exp, manifest):
+        self._sample = sample_exp
+        self._log_prob = log_prob_exp
+        self.manifest = manifest
+
+    def sample(self, seed: int):
+        return self._sample.call(jnp.asarray(seed, jnp.uint32))
+
+    def log_prob(self, x):
+        return self._log_prob.call(jnp.asarray(x, jnp.float32))
+
+
+def load_bundle(path: str) -> ServingBundle:
+    """Load a bundle written by :func:`save_bundle`; no model code needed."""
+    with open(os.path.join(path, "sample.bin"), "rb") as f:
+        smp = jax_export.deserialize(f.read())
+    with open(os.path.join(path, "log_prob.bin"), "rb") as f:
+        lp = jax_export.deserialize(f.read())
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    return ServingBundle(smp, lp, manifest)

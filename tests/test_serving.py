@@ -1,0 +1,96 @@
+"""Serving export (serving.py): serialized StableHLO sample/log_prob.
+
+A trained flow is frozen into jax.export artifacts, serialized to disk,
+deserialized, and called — results must match the live model bit-for-bit.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import normflows_tpu as nf
+from normflows_tpu import flows, distributions, serving
+
+
+def _realnvp(K=4, hidden=32):
+    key = jax.random.key(0)
+    layers = []
+    for i in range(K):
+        pm = nf.nets.MLP.create(jax.random.fold_in(key, i), [2, hidden, 2],
+                                init_zeros=True)
+        mask = jnp.array([i % 2, (i + 1) % 2], dtype=jnp.float32)
+        layers.append(flows.MaskedAffineFlow.create(mask, t=pm, s=None))
+    return nf.NormalizingFlow.create(
+        distributions.DiagGaussian.create(2), layers,
+        p=distributions.TwoMoons())
+
+
+def _nsf(K=2, hidden=32):
+    key = jax.random.key(3)
+    base = distributions.UniformGaussian.create(
+        2, [1], jnp.array([1.0, 2 * np.pi]))
+    layers = [
+        flows.CircularAutoregressiveRationalQuadraticSpline.create(
+            jax.random.fold_in(key, i), 2, 1, hidden, ind_circ=[1],
+            num_bins=4, tail_bound=jnp.array([5.0, np.pi]),
+            permute_mask=True, rng_seed=i,
+        )
+        for i in range(K)
+    ]
+    return nf.NormalizingFlow.create(base, layers)
+
+
+class TestServingBundle:
+    def test_roundtrip_matches_live_model(self, tmp_path):
+        model = _realnvp()
+        serving.save_bundle(model, str(tmp_path), num_samples=64,
+                            event_shape=(2,))
+        bundle = serving.load_bundle(str(tmp_path))
+
+        z, lq = bundle.sample(7)
+        z2, lq2 = model.sample_and_log_prob(jax.random.key(jnp.uint32(7)), 64)
+        np.testing.assert_array_equal(np.asarray(z), np.asarray(z2))
+        np.testing.assert_array_equal(np.asarray(lq), np.asarray(lq2))
+
+    def test_symbolic_batch_serves_any_size(self, tmp_path):
+        model = _realnvp()
+        serving.save_bundle(model, str(tmp_path), num_samples=8,
+                            event_shape=(2,))
+        bundle = serving.load_bundle(str(tmp_path))
+        for b in (1, 5, 33):
+            x = jax.random.normal(jax.random.key(b), (b, 2))
+            np.testing.assert_allclose(
+                np.asarray(bundle.log_prob(x)),
+                np.asarray(model.log_prob(x)), atol=1e-6)
+
+    def test_manifest_contents(self, tmp_path):
+        model = _realnvp()
+        serving.save_bundle(model, str(tmp_path), num_samples=16,
+                            event_shape=(2,))
+        bundle = serving.load_bundle(str(tmp_path))
+        assert bundle.manifest["num_samples"] == 16
+        assert bundle.manifest["event_shape"] == [2]
+        assert bundle.manifest["symbolic_batch"] is True
+
+    def test_spline_model_exports(self, tmp_path):
+        # the NSF path (spline kernels + MADE) must survive export too
+        model = _nsf()
+        serving.save_bundle(model, str(tmp_path), num_samples=16,
+                            event_shape=(2,))
+        bundle = serving.load_bundle(str(tmp_path))
+        z, lq = bundle.sample(3)
+        z2, lq2 = model.sample_and_log_prob(jax.random.key(jnp.uint32(3)), 16)
+        # allclose, not bit-equal: the exported executable is compiled from
+        # round-tripped StableHLO, so fusion choices may differ by ~1 ulp
+        np.testing.assert_allclose(np.asarray(z), np.asarray(z2), atol=1e-5)
+        x = jax.random.normal(jax.random.key(11), (9, 2))
+        np.testing.assert_allclose(
+            np.asarray(bundle.log_prob(x)),
+            np.asarray(model.log_prob(x)), atol=1e-6)
+
+    def test_exported_objects_direct(self):
+        model = _realnvp()
+        exp = serving.export_sampler(model, 8)
+        z, lq = exp.call(jnp.uint32(0))
+        assert z.shape == (8, 2) and lq.shape == (8,)

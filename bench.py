@@ -61,28 +61,44 @@ def main():
         updates, opt_state = opt.update(grads, opt_state, diff)
         return optax.apply_updates(diff, updates), opt_state, loss
 
+    # Measure a CHUNK of steps inside one on-device lax.scan: one dispatch
+    # per chunk, so the measurement is immune to host dispatch / device-tunnel
+    # latency, and timed with the monotonic clock (time.time() is subject to
+    # NTP steps, which once produced a physically impossible >100% MFU here).
+    chunk_len = 10
+
+    def chunk(diff, opt_state, key):
+        def body(carry, _):
+            diff, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            diff, opt_state, loss = step(diff, opt_state, sub)
+            return (diff, opt_state, key), loss
+
+        (diff, opt_state, key), losses = jax.lax.scan(
+            body, (diff, opt_state, key), None, length=chunk_len
+        )
+        return diff, opt_state, key, losses[-1]
+
     key = jax.random.key(0)
     # AOT-compile so the MFU accounting comes from the SAME executable we time
     compiled = (
-        jax.jit(step, donate_argnums=(0, 1)).lower(diff, opt_state, key).compile()
+        jax.jit(chunk, donate_argnums=(0, 1)).lower(diff, opt_state, key).compile()
     )
     ca = compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
-    flops_per_step = float(ca.get("flops", 0.0))
+    flops_per_step = float(ca.get("flops", 0.0)) / chunk_len
 
     # warmup
-    for _ in range(4):
-        key, sub = jax.random.split(key)
-        diff, opt_state, loss = compiled(diff, opt_state, sub)
+    diff, opt_state, key, loss = compiled(diff, opt_state, key)
     jax.block_until_ready(loss)
 
-    iters = 30
-    t0 = time.time()
-    for _ in range(iters):
-        key, sub = jax.random.split(key)
-        diff, opt_state, loss = compiled(diff, opt_state, sub)
+    chunks = 4
+    t0 = time.perf_counter()
+    for _ in range(chunks):
+        diff, opt_state, key, loss = compiled(diff, opt_state, key)
     jax.block_until_ready(loss)
-    dt = (time.time() - t0) / iters
+    dt = (time.perf_counter() - t0) / (chunks * chunk_len)
+    assert bool(jnp.isfinite(loss)), "non-finite loss in benchmark step"
 
     samples_per_sec = num_samples / dt
     peak = chip_peak_flops()

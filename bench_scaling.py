@@ -78,12 +78,12 @@ def measure_point(model, n_devices: int, samples_per_device: int, iters: int,
         diff, opt_state, loss = step_fn(diff, opt_state, sub)
     jax.block_until_ready(loss)
 
-    t0 = time.time()
+    t0 = time.perf_counter()
     for _ in range(iters):
         key, sub = jax.random.split(key)
         diff, opt_state, loss = step_fn(diff, opt_state, sub)
     jax.block_until_ready(loss)
-    dt = (time.time() - t0) / iters
+    dt = (time.perf_counter() - t0) / iters
     assert bool(jnp.isfinite(loss)), f"non-finite loss at n={n_devices}"
     return num_samples / dt
 

@@ -80,13 +80,23 @@ def main():
         return diff, opt_state, key, losses[-1]
 
     key = jax.random.key(0)
-    # AOT-compile so the MFU accounting comes from the SAME executable we time
     compiled = (
         jax.jit(chunk, donate_argnums=(0, 1)).lower(diff, opt_state, key).compile()
     )
-    ca = compiled.cost_analysis()
+    # FLOP accounting MUST come from a single-step executable: XLA's
+    # cost_analysis() counts a lax.scan body ONCE regardless of trip count, so
+    # reading the chunk executable's flops and dividing by chunk_len would
+    # under-report per-step FLOPs by ~chunk_len x (regression test:
+    # tests/test_profiling.py::test_scan_flops_counted_once).  We still TIME
+    # the scanned chunk (one dispatch per chunk, immune to host latency).
+    step_compiled = (
+        jax.jit(step, donate_argnums=(0, 1))
+        .lower(diff, opt_state, jax.random.key(1))
+        .compile()
+    )
+    ca = step_compiled.cost_analysis()
     ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
-    flops_per_step = float(ca.get("flops", 0.0)) / chunk_len
+    flops_per_step = float(ca.get("flops", 0.0))
 
     # warmup
     diff, opt_state, key, loss = compiled(diff, opt_state, key)

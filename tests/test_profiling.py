@@ -34,6 +34,38 @@ def test_cost_report_matmul():
     assert rep["arithmetic_intensity"] > 0
 
 
+def test_scan_flops_counted_once():
+    """Regression for the round-2 bench.py MFU bug: XLA ``cost_analysis()``
+    counts a ``lax.scan`` body ONCE, not trip-count times.  Per-step FLOP
+    accounting must therefore come from a single-step executable (as bench.py
+    now does), never from ``chunk_flops / chunk_len``."""
+    a = jnp.ones((128, 128))
+
+    def one(x):
+        return x @ a
+
+    def scanned(x):
+        x, _ = jax.lax.scan(lambda c, _: (one(c), None), x, None, length=10)
+        return x
+
+    def flops(fn):
+        compiled = jax.jit(fn).lower(a).compile()
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
+        return float(ca.get("flops", 0.0))
+
+    f_one, f_scan = flops(one), flops(scanned)
+    assert f_one > 0
+    # The documented XLA behavior this accounting must respect: the 10-step
+    # scan reports ~1x the body's flops (NOT ~10x).  If XLA ever starts
+    # multiplying by trip count this assert flags it so bench.py can revert.
+    assert f_scan < 2.0 * f_one, (f_one, f_scan)
+    # Correct per-step accounting = single-step executable's flops.
+    per_step_correct = f_one
+    per_step_buggy = f_scan / 10
+    assert per_step_correct > 5 * per_step_buggy
+
+
 def test_benchmark_reports_rate():
     f = jax.jit(lambda x: (x * 2).sum())
     x = jnp.ones((128,))

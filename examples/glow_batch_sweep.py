@@ -1,0 +1,176 @@
+"""Glow batch-scaling A/B + roofline bounds (docs/performance.md evidence).
+
+Tests the claim that Glow's low MFU at the reference config (L=3, K=16,
+hidden 256, batch 128 — examples/glow.ipynb) comes from the MXU being
+starved by small spatial extents: if so, MFU must rise with batch size
+(more rows per conv matmul at fixed spatial geometry).
+
+Each row: images/s, achieved TFLOP/s, MFU (flops from the SAME AOT
+executable that is timed), XLA's static bytes-accessed estimate, and the
+*physical-feasibility bound*: bytes the HBM could deliver in the measured
+time.  When the static estimate exceeds that bound, the estimate is a
+pre-fusion overestimate (buffers counted that fusion never materializes)
+— the check that repaired the round-2 roofline narrative.
+
+Also probes the chip's attainable HBM bandwidth (streaming triad) and
+attainable matmul peak (large bf16 matmul) so the bounds use MEASURED
+ceilings, not datasheet numbers.
+
+Run on the real chip:
+    env PYTHONPATH="/root/.axon_site:/root/repo" python examples/glow_batch_sweep.py
+CPU plumbing check:
+    env -u PYTHONPATH JAX_PLATFORMS=cpu PYTHONPATH=/root/repo \
+        python examples/glow_batch_sweep.py --tiny
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+import normflows_tpu as nf
+from normflows_tpu.utils import enable_compilation_cache
+from normflows_tpu.utils.profiling import chip_peak_flops
+
+
+def probe_hbm_bandwidth(n_bytes=2 ** 30):
+    """Streaming triad a = b + s*c: 3 arrays touched, best-case traffic
+    3*n bytes.  Reports achieved GB/s — the *attainable* HBM ceiling."""
+    n = n_bytes // 4
+    b = jnp.ones((n,), jnp.float32)
+    c = jnp.ones((n,), jnp.float32)
+
+    @jax.jit
+    def triad(b, c):
+        return b + 1.5 * c
+
+    out = triad(b, c)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        out = triad(b, c)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return 3 * n * 4 / dt  # bytes/s
+
+
+def probe_matmul_peak(m=8192):
+    """Large bf16 matmul: attainable MXU ceiling (FLOP/s)."""
+    a = jnp.ones((m, m), jnp.bfloat16)
+
+    @jax.jit
+    def mm(a):
+        return a @ a
+
+    out = mm(a)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        out = mm(out * 0 + a)  # defeat CSE, keep shapes
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return 2 * m ** 3 / dt
+
+
+def glow_step_case(batch, dtype, L, K, hidden, hw, iters):
+    from examples.glow_image import build_glow
+
+    model = build_glow(L, K, hidden, (3, hw, hw), 10)
+    if dtype == "bfloat16":
+        model = nf.utils.set_compute_dtype(model, "bfloat16")
+    x = jax.random.uniform(jax.random.key(1), (batch, 3, hw, hw),
+                           minval=0.01, maxval=0.99)
+    y = jax.random.randint(jax.random.key(2), (batch,), 0, 10)
+    model = model.init_actnorm(x, y)
+    opt = optax.chain(optax.add_decayed_weights(1e-5), optax.adamax(1e-3))
+    diff, rest = nf.partition(model)
+    opt_state = opt.init(diff)
+
+    def step(diff, opt_state, x, y):
+        loss, grads = jax.value_and_grad(
+            lambda d: nf.combine(d, rest).forward_kld(x, y))(diff)
+        updates, opt_state = opt.update(grads, opt_state, diff)
+        return optax.apply_updates(diff, updates), opt_state, loss
+
+    compiled = (
+        jax.jit(step, donate_argnums=(0, 1))
+        .lower(diff, opt_state, x, y).compile()
+    )
+    ca = compiled.cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+
+    state = (diff, opt_state)
+    for _ in range(3):
+        out = compiled(*state, x, y)
+        state = out[:2]
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = compiled(*state, x, y)
+        state = out[:2]
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    return flops, byts, dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--batches", type=str, default="128,256,512,1024")
+    ap.add_argument("--dtypes", type=str, default="float32,bfloat16")
+    args = ap.parse_args()
+    enable_compilation_cache()
+
+    dev = jax.devices()[0]
+    peak = chip_peak_flops(dev)
+    bw = probe_hbm_bandwidth(2 ** 30 if not args.tiny else 2 ** 24)
+    mm_peak = probe_matmul_peak(8192 if not args.tiny else 512)
+    print(json.dumps({
+        "probe": "ceilings", "device": dev.device_kind,
+        "hbm_triad_gbps": round(bw / 1e9, 1),
+        "matmul_peak_tflops": round(mm_peak / 1e12, 1),
+        "datasheet_peak_tflops": round(peak / 1e12, 1) if peak == peak else None,
+        "measured_ridge_flops_per_byte": round(mm_peak / bw, 1),
+    }), flush=True)
+
+    if args.tiny:
+        L, K, hidden, hw = 2, 2, 32, 8
+        batches = [8, 16]
+        dtypes = ["float32"]
+    else:
+        L, K, hidden, hw = 3, 16, 256, 32
+        batches = [int(b) for b in args.batches.split(",")]
+        dtypes = args.dtypes.split(",")
+
+    denom = mm_peak if mm_peak == mm_peak else peak
+    for dtype in dtypes:
+        for batch in batches:
+            flops, byts, dt = glow_step_case(
+                batch, dtype, L, K, hidden, hw, args.iters)
+            feasible_bytes = bw * dt  # most HBM could deliver in dt
+            print(json.dumps({
+                "step": "glow_train_step", "dtype": dtype, "batch": batch,
+                "ms_per_iter": round(dt * 1e3, 2),
+                "images_per_sec": round(batch / dt, 1),
+                "flops_per_step": flops,
+                "achieved_tflops": round(flops / dt / 1e12, 2),
+                "mfu_vs_datasheet": round(flops / dt / peak, 4)
+                if peak == peak else None,
+                "mfu_vs_measured_matmul": round(flops / dt / denom, 4),
+                "xla_bytes_estimate_gb": round(byts / 2 ** 30, 2),
+                "hbm_feasible_bytes_gb": round(feasible_bytes / 2 ** 30, 2),
+                "bytes_estimate_exceeds_feasible": bool(byts > feasible_bytes),
+            }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

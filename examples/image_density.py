@@ -88,9 +88,14 @@ def main():
         updates, opt_state = opt.update(grads, opt_state, diff)
         return optax.apply_updates(diff, updates), opt_state, loss
 
+    if args.batch > x_all.shape[0]:
+        raise SystemExit(
+            f"--batch {args.batch} exceeds the {x_all.shape[0]}-sample pool")
     t0 = time.time()
     for i in range(args.iters):
-        s = (i * args.batch) % (2**16 - args.batch)
+        # cycle through the pool; the +1 makes the final `batch` rows reachable
+        # and keeps the modulus positive for batch == pool size
+        s = (i * args.batch) % (x_all.shape[0] - args.batch + 1)
         diff, opt_state, loss = step(
             diff, opt_state, jnp.asarray(x_all[s : s + args.batch])
         )

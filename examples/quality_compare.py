@@ -255,7 +255,66 @@ def residual_reference(x, iters):
     return float(ll), wall
 
 
-def residual_ours(x, iters):
+def _build_ref_residual_model():
+    """The reference model exactly as residual_reference builds it (seed 0),
+    BEFORE ActNorm init / training — used as a shared initialization."""
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    import normflows as ref_nf
+
+    torch.manual_seed(0)
+    K, hidden = RES_CFG["K"], RES_CFG["hidden"]
+    layers = []
+    for _ in range(K):
+        net = ref_nf.nets.LipschitzMLP(
+            [2, hidden, hidden, 2], init_zeros=True,
+            lipschitz_const=RES_CFG["lip"]
+        )
+        layers += [ref_nf.flows.Residual(net, reduce_memory=True),
+                   ref_nf.flows.ActNorm(2)]
+    return ref_nf.NormalizingFlow(ref_nf.distributions.DiagGaussian(2), layers)
+
+
+def _copy_ref_residual_init(our_model, ref_model):
+    """Controlled-initialization copy: reference LipschitzMLP weights, biases,
+    Swish betas AND power-iteration u/v/scale buffers into our pytree, plus
+    the DiagGaussian base params.  ActNorms are data-initialized identically
+    on both sides afterwards, so the two frameworks start from the SAME
+    function."""
+    import jax.numpy as jnp
+
+    def t2j(t):
+        return jnp.asarray(t.detach().cpu().numpy())
+
+    new_flows = []
+    for ours, ref in zip(our_model.flows, ref_model.flows):
+        if hasattr(ours, "iresblock"):  # Residual layer
+            our_layers = list(ours.iresblock.nnet.layers)
+            ref_mods = list(ref.iresblock.nnet.net)
+            copied = []
+            for ol, rl in zip(our_layers, ref_mods):
+                if hasattr(ol, "beta"):  # Swish
+                    copied.append(ol.replace(beta=t2j(rl.beta)))
+                else:  # InducedNormLinear
+                    copied.append(ol.replace(
+                        weight=t2j(rl.weight), bias=t2j(rl.bias),
+                        u=t2j(rl.u), v=t2j(rl.v), scale=t2j(rl.scale),
+                    ))
+            new_flows.append(ours.replace(
+                iresblock=ours.iresblock.replace(
+                    nnet=ours.iresblock.nnet.replace(layers=tuple(copied)))))
+        else:
+            new_flows.append(ours)
+    return our_model.replace(
+        flows=tuple(new_flows),
+        q0=our_model.q0.replace(
+            loc=t2j(ref_model.q0.loc), log_scale=t2j(ref_model.q0.log_scale)
+        ),
+    )
+
+
+def residual_ours(x, iters, copied_init=False):
     import jax
     import jax.numpy as jnp
     import optax
@@ -272,6 +331,8 @@ def residual_ours(x, iters):
         layers.append(flows.Residual.create(net, reduce_memory=True))
         layers.append(flows.ActNorm.create((2,)))
     model = nf.NormalizingFlow.create(distributions.DiagGaussian.create(2), layers)
+    if copied_init:
+        model = _copy_ref_residual_init(model, _build_ref_residual_model())
     x_all = jnp.asarray(x)
     n_train = x.shape[0] - 2048
     model = model.init_actnorm(x_all[:256])
@@ -468,6 +529,9 @@ def main():
     ap.add_argument("task", choices=["glow", "residual", "vae"])
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--side", choices=["both", "ref", "ours"], default="both")
+    ap.add_argument("--copied-init", action="store_true",
+                    help="residual task: start OUR model from the reference's "
+                         "exact initial weights (controlled-init comparison)")
     args = ap.parse_args()
     os.makedirs(DATA_DIR, exist_ok=True)
 
@@ -486,8 +550,9 @@ def main():
         iters = args.iters or 1500
         x = twomoons_dataset(os.path.join(DATA_DIR, "twomoons.npz"))
         if args.side in ("both", "ours"):
-            ll, wall = residual_ours(x, iters)
+            ll, wall = residual_ours(x, iters, copied_init=args.copied_init)
             emit({"task": "residual", "side": "ours",
+                  "copied_init": args.copied_init,
                   "heldout_loglik": round(ll, 4), "iters": iters,
                   "wall_s": round(wall, 1), **RES_CFG})
         if args.side in ("both", "ref"):

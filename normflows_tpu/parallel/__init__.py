@@ -14,7 +14,7 @@ from .data_parallel import (
     make_reverse_kld_step,
 )
 from .chains import shard_chains, parallel_chain_sample
-from .pipeline import make_pipeline_apply
+from .pipeline import make_pipeline_apply, make_pipeline_train_step
 from .tensor_parallel import (
     tp_shardings,
     fsdp_shardings,
@@ -37,6 +37,7 @@ __all__ = [
     "shard_chains",
     "parallel_chain_sample",
     "make_pipeline_apply",
+    "make_pipeline_train_step",
     "tp_shardings",
     "fsdp_shardings",
     "make_tensor_parallel_step",

@@ -16,7 +16,8 @@ per-stage stacked params) to its current microbatch and forwards
 last stage and combined with a ``psum`` (all other stages contribute
 zeros), so the result is replicated — and the whole schedule is
 differentiable (``ppermute``/``psum`` have transposes), so the pipeline
-composes with ``jax.grad`` for training.
+composes with ``jax.grad``: :func:`make_pipeline_train_step` builds a full
+pipelined training step (loss + grad + optimizer update).
 
 Restrictions: homogeneous deterministic layers (one shared pytree
 structure, no ``key``), ``len(layers)`` divisible by the stage count,
@@ -26,51 +27,48 @@ batch divisible by ``num_microbatches``.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, PartitionSpec as P
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-__all__ = ["make_pipeline_apply"]
+from ..core.module import partition, combine
+
+__all__ = ["make_pipeline_apply", "make_pipeline_train_step"]
 
 
-def make_pipeline_apply(
-    layers,
-    mesh: Mesh,
-    stage_axis: str = "stage",
-    num_microbatches: Optional[int] = None,
-    reverse: bool = False,
-):
-    """Build ``apply(z, context=None) -> (z, log_det)`` running the
-    homogeneous ``layers`` stack as a pipeline over ``mesh``'s
-    ``stage_axis``.
-
-    ``reverse=True`` pipelines the inverse (data->latent) direction: the
-    layer order is reversed across and within stages and each stage calls
-    ``layer.inverse``.
-    """
+def _stack_layers(layers, n_stages: int):
+    """Stack a homogeneous layer list into one pytree with leading
+    ``(n_stages, per_stage)`` axes on every leaf."""
     layers = list(layers)
-    if reverse:
-        layers = layers[::-1]
-    n_stages = dict(zip(mesh.axis_names, mesh.devices.shape))[stage_axis]
     depth = len(layers)
     if depth % n_stages != 0:
-        raise ValueError(
-            f"{depth} layers not divisible into {n_stages} stages")
+        raise ValueError(f"{depth} layers not divisible into {n_stages} stages")
     treedefs = {jax.tree.structure(l) for l in layers}
     if len(treedefs) != 1:
         raise ValueError("pipeline requires homogeneous layers")
     per_stage = depth // n_stages
-    # leading axis (S, per_stage): stage s holds its contiguous layer block
-    stacked = jax.tree.map(
+    return jax.tree.map(
         lambda *xs: jnp.stack(xs).reshape(
             n_stages, per_stage, *jnp.shape(xs[0])), *layers)
 
+
+def _make_pipeline_raw(
+    mesh: Mesh,
+    stage_axis: str,
+    num_microbatches: Optional[int],
+    reverse: bool,
+):
+    """Build ``run(stacked_params, z, context) -> (z, log_det)``: the
+    pipelined schedule as a function OF the layer parameters, so it can sit
+    under ``jax.grad`` in a training step."""
+    n_stages = dict(zip(mesh.axis_names, mesh.devices.shape))[stage_axis]
     ring = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
-    def apply(z, context=None):
+    def run_pipeline(stacked, z, context=None):
         M = num_microbatches if num_microbatches is not None else 2 * n_stages
         batch = z.shape[0]
         if batch % M != 0:
@@ -135,4 +133,115 @@ def make_pipeline_apply(
 
         return run(stacked, z)
 
+    return run_pipeline
+
+
+def make_pipeline_apply(
+    layers,
+    mesh: Mesh,
+    stage_axis: str = "stage",
+    num_microbatches: Optional[int] = None,
+    reverse: bool = False,
+):
+    """Build ``apply(z, context=None) -> (z, log_det)`` running the
+    homogeneous ``layers`` stack as a pipeline over ``mesh``'s
+    ``stage_axis``.
+
+    ``reverse=True`` pipelines the inverse (data->latent) direction: the
+    layer order is reversed across and within stages and each stage calls
+    ``layer.inverse``.
+    """
+    layers = list(layers)
+    if reverse:
+        layers = layers[::-1]
+    n_stages = dict(zip(mesh.axis_names, mesh.devices.shape))[stage_axis]
+    stacked = _stack_layers(layers, n_stages)
+    run_pipeline = _make_pipeline_raw(mesh, stage_axis, num_microbatches, reverse)
+
+    def apply(z, context=None):
+        return run_pipeline(stacked, z, context)
+
     return apply
+
+
+def make_pipeline_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    mesh: Mesh,
+    stage_axis: str = "stage",
+    num_microbatches: Optional[int] = None,
+    objective: str = "forward_kld",
+    num_samples: int = 64,
+    donate: bool = True,
+):
+    """Pipelined TRAINING step over ``model``'s homogeneous flow stack.
+
+    ``objective='forward_kld'``: the density-direction (inverse) pass is
+    pipelined over the stages, the base ``log_prob`` runs replicated on the
+    pipeline output, and gradients flow back through the ppermute schedule
+    (reference objective: core.py:87-102).  ``objective='reverse_kld'``:
+    base sampling + pipelined forward pass + target log-prob
+    (core.py:104-131, score-function estimator).
+
+    Layer parameters live stage-sharded (leading stage axis placed over
+    ``stage_axis``), so each device holds only its own stages' layers and
+    their optimizer moments.  Returns ``(step_fn, state)`` with
+    ``step_fn(state, batch, key) -> (state, loss)``; for ``reverse_kld``
+    pass ``batch=None``.
+    """
+    if objective not in ("forward_kld", "reverse_kld"):
+        raise ValueError(f"unknown objective {objective!r}")
+    reverse = objective == "forward_kld"
+    layers = list(model.flows)
+    if reverse:
+        layers = layers[::-1]
+    n_stages = dict(zip(mesh.axis_names, mesh.devices.shape))[stage_axis]
+    stacked = _stack_layers(layers, n_stages)
+    run_pipeline = _make_pipeline_raw(mesh, stage_axis, num_microbatches, reverse)
+
+    # stage-shard the stacked layer params (leading axis = stage) and keep
+    # the (small) base distribution + target replicated
+    stage_sh = jax.tree.map(
+        lambda x: NamedSharding(
+            mesh, P(stage_axis, *([None] * (x.ndim - 1)))),
+        stacked,
+    )
+    repl = NamedSharding(mesh, P())
+    stacked = jax.jit(lambda t: t, out_shardings=stage_sh)(stacked)
+    shell = model.replace(flows=())  # q0 + p, replicated
+    shell = jax.jit(lambda t: t, out_shardings=repl)(shell)
+
+    diff_stack, rest_stack = partition(stacked)
+    diff_shell, rest_shell = partition(shell)
+    diff = {"stack": diff_stack, "shell": diff_shell}
+    opt_state = optimizer.init(diff)
+    # moments inherit param shardings from optimizer.init's zeros_like;
+    # scalars (counts) land single-device — re-place them replicated
+    opt_state = jax.device_put(
+        opt_state,
+        jax.tree.map(
+            lambda x: x.sharding
+            if isinstance(getattr(x, "sharding", None), NamedSharding) else repl,
+            opt_state,
+        ),
+    )
+
+    def _loss(diff, batch, key):
+        stack = combine(diff["stack"], rest_stack)
+        sh = combine(diff["shell"], rest_shell)
+        if objective == "forward_kld":
+            z, log_det = run_pipeline(stack, batch)
+            log_q = log_det + sh.q0.log_prob(z)
+            return -jnp.mean(log_q)
+        z, log_q = sh.q0.sample_and_log_prob(key, num_samples)
+        z, log_det = run_pipeline(stack, z)
+        log_q = log_q - log_det
+        return jnp.mean(log_q) - jnp.mean(sh.p.log_prob(z))
+
+    @partial(jax.jit, donate_argnums=(0, 1) if donate else ())
+    def step_fn(diff, opt_state, batch, key):
+        loss, grads = jax.value_and_grad(_loss)(diff, batch, key)
+        updates, opt_state = optimizer.update(grads, opt_state, diff)
+        return optax.apply_updates(diff, updates), opt_state, loss
+
+    return step_fn, diff, (rest_stack, rest_shell), opt_state

@@ -120,3 +120,41 @@ def test_hmc_acceptance_sane():
     z1, _ = jax.jit(hmc.forward)(z0, key=jax.random.key(7))
     moved = np.asarray(jnp.any(z1 != z0, axis=1)).mean()
     assert moved > 0.6, moved
+
+
+def test_mh_data_dep_init_identity_transport_matches_real_kernel():
+    """`MetropolisHastings.data_dep_init` is a documented identity-transport
+    approximation (flows/stochastic.py): the reference's lazy ActNorm init
+    would run the actual MCMC kernel on the init batch.  This pins the
+    consequence: when the init batch is drawn from the kernel's own target
+    (the SNF regime — the layer preserves its stationary distribution), the
+    ActNorm whitening statistics from identity transport agree with those
+    from a keyed real-kernel pass to MC tolerance."""
+    from normflows_tpu.flows.normalization import ActNorm
+    from normflows_tpu.distributions.mh_proposal import DiagGaussianProposal
+
+    loc = jnp.array([[1.5, -0.5]])
+    target = distributions.DiagGaussian.create(2).replace(loc=loc)
+    mh = MetropolisHastings(
+        target=target,
+        proposal=DiagGaussianProposal.create(2, 0.5),
+        steps=8,
+    )
+    x = loc + jax.random.normal(jax.random.key(0), (4096, 2))
+
+    # identity-transport init (what init_actnorm does through the MH layer)
+    _, z_identity = mh.data_dep_init(x)
+    an_identity, _ = ActNorm.create(2).data_dep_init(z_identity)
+
+    # real keyed kernel pass, then the same ActNorm init
+    z_real, _ = mh.inverse(x, key=jax.random.key(1))
+    an_real, _ = ActNorm.create(2).data_dep_init(z_real)
+
+    np.testing.assert_allclose(
+        np.asarray(an_identity.t), np.asarray(an_real.t), atol=0.08,
+        err_msg="ActNorm shift init diverges between identity and real kernel",
+    )
+    np.testing.assert_allclose(
+        np.asarray(an_identity.s), np.asarray(an_real.s), atol=0.08,
+        err_msg="ActNorm log-scale init diverges between identity and real kernel",
+    )

@@ -710,11 +710,12 @@ def test_coupled_rqs_wrapper_matches_reference():
 def test_circular_coupled_rqs_wrapper_matches_reference():
     """CircularCoupledRationalQuadraticSpline (wrapper.py:88-183), scalar bound.
 
-    Scalar tail_bound only: with a tensor bound the reference indexes the
-    full-length bound vector with identity-split positions when computing the
-    periodic-feature scale (wrapper.py:136-137), which mixes up dims unless
-    they coincide; we index by actual feature id.  The tensor-bound spline
-    math itself is oracle-tested at kernel level above.
+    With a tensor bound the reference indexes the full-length bound vector
+    with identity-split positions when computing the periodic-feature scale
+    (wrapper.py:136-137), which mixes up dims unless they coincide; we index
+    by actual feature id.  The tensor-bound case is oracle-tested below
+    (test_circular_coupled_rqs_wrapper_tensor_bound_matches_reference) by
+    reproducing the reference's quirky scale on our side, test-only.
     """
     D, K, hidden, blocks = 3, 6, 24, 2
     torch.manual_seed(1)
@@ -1291,3 +1292,50 @@ def test_nn_bernoulli_decoder_matches_reference():
         ref.log_prob(torch.tensor(x), torch.tensor(z)),
         atol=1e-5, rtol=1e-5,
     )
+
+
+def test_circular_coupled_rqs_wrapper_tensor_bound_matches_reference():
+    """CircularCoupledRationalQuadraticSpline with a TENSOR tail_bound
+    (wrapper.py:88-183).  The reference computes the periodic-feature scale
+    as pi / tail_bound[ind_circ_id] (wrapper.py:136-137) — indexing the
+    full-length bound vector with positions *within the identity subset*,
+    which grabs the wrong dim's bound whenever the circular coordinate isn't
+    at the same position in both (we index by actual feature id,
+    neural_spline/wrapper.py:122).  For this oracle the reference's quirky
+    scale is reproduced on our side BY OVERRIDING the preprocessing scale
+    buffer (test-only), so everything else — tensor-bound coupling spline,
+    circular-CDF unconditional transform, slot-mapped param nets — is
+    compared exactly."""
+    D, K, hidden, blocks = 3, 6, 24, 2
+    tb_np = np.array([4.0, np.pi, 3.0], np.float32)
+    torch.manual_seed(3)
+    ref = ref_nf.flows.CircularCoupledRationalQuadraticSpline(
+        D, blocks, hidden, ind_circ=[1], num_bins=K,
+        tail_bound=torch.tensor(tb_np), reverse_mask=True,
+        init_identity=False,
+    )
+    ours = flows.CircularCoupledRationalQuadraticSpline.create(
+        jax.random.key(0), D, blocks, hidden, ind_circ=[1], num_bins=K,
+        tail_bound=jnp.asarray(tb_np), reverse_mask=True,
+        init_identity=False,
+    )
+    d_tr = len(np.asarray(ours.prqct.transform_features))
+    net = copy_resnet(
+        ours.prqct.transform_net, ref.prqct.transform_net, d_tr, K, "list")
+    # identity half holds the circular dim here, so the quirk fires:
+    # ref scale = pi/tail_bound[0] = pi/4 (correct would be pi/pi = 1)
+    ref_pf_scale = ref.prqct.transform_net.preprocessing.scale
+    assert_close(t2j(ref_pf_scale), np.pi / tb_np[0])  # quirk actually fires
+    net = net.replace(
+        preprocessing=net.preprocessing.replace(scale=t2j(ref_pf_scale)))
+    ours = ours.replace(
+        prqct=ours.prqct.replace(
+            transform_net=net,
+            unconditional_transform=copy_cdf(
+                ours.prqct.unconditional_transform,
+                ref.prqct.unconditional_transform, K, "list",
+            ),
+        )
+    )
+    z = RNG.uniform(-2.5, 2.5, size=(13, D)).astype(np.float32)
+    _assert_flow_pair_matches(ours, ref, z)

@@ -85,6 +85,13 @@ def main():
     lq = model.q0.log_prob(z)
     print(f"pipeline (4-stage):        {float(-jnp.mean(lq + log_det)):.6f}")
 
+    # 5. pipelined TRAINING: grads + optimizer through the schedule,
+    #    layer params stage-sharded (each device trains only its stages)
+    step, pdiff, prest, popt = parallel.make_pipeline_train_step(
+        model, opt, mesh, num_microbatches=8)
+    _, _, loss = step(pdiff, popt, batch, jax.random.key(2))
+    print(f"pipeline train (4-stage):  {float(loss):.6f}")
+
 
 if __name__ == "__main__":
     main()

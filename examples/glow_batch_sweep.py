@@ -37,45 +37,77 @@ from normflows_tpu.utils import enable_compilation_cache
 from normflows_tpu.utils.profiling import chip_peak_flops
 
 
-def probe_hbm_bandwidth(n_bytes=2 ** 30):
-    """Streaming triad a = b + s*c: 3 arrays touched, best-case traffic
-    3*n bytes.  Reports achieved GB/s — the *attainable* HBM ceiling."""
+def _timed_scalar(fn, *args):
+    """Wall time of fn(*args) forced via scalar download.
+
+    The axon tunnel's block_until_ready is only reliable for scalar
+    outputs (large-array downloads are deferred), so ceiling probes must
+    end in a reduction and be timed via float() — measured 2026-08-21:
+    an identical big-array probe 'measured' 300 TB/s with
+    block_until_ready and 507 GB/s with scalar forcing.
+    """
+    t0 = time.perf_counter()
+    float(fn(*args))
+    return time.perf_counter() - t0
+
+
+def probe_hbm_bandwidth(n_bytes=2 ** 30, iters=20):
+    """Streaming update x = 0.999*x + b under ONE on-device lax.scan
+    (carry-dependent: no iteration can be elided).  Traffic per iteration:
+    read x + read b + write x = 3 arrays.  The device-resident inputs are
+    created on device; tunnel RTT is cancelled by differencing a long and
+    a short scan.  Reports bytes/s — the *attainable* HBM ceiling."""
     n = n_bytes // 4
-    b = jnp.ones((n,), jnp.float32)
-    c = jnp.ones((n,), jnp.float32)
 
     @jax.jit
-    def triad(b, c):
-        return b + 1.5 * c
+    def make():
+        return jnp.full((n,), 0.5, jnp.float32), jnp.ones((n,), jnp.float32)
 
-    out = triad(b, c)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    iters = 10
-    for _ in range(iters):
-        out = triad(b, c)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    return 3 * n * 4 / dt  # bytes/s
+    x, b = make()
+    float(x[0])  # force device materialization
+
+    def runner(length):
+        @jax.jit
+        def run(x, b):
+            def body(x, _):
+                return 0.999 * x + b, None
+
+            x, _ = jax.lax.scan(body, x, None, length=length)
+            return x.sum()
+
+        float(run(x, b))  # warmup/compile
+        return min(_timed_scalar(run, x, b) for _ in range(3))
+
+    dt = runner(3 * iters) - runner(iters)  # marginal: RTT cancels
+    return 3 * n * 4 * (2 * iters) / dt
 
 
-def probe_matmul_peak(m=8192):
-    """Large bf16 matmul: attainable MXU ceiling (FLOP/s)."""
-    a = jnp.ones((m, m), jnp.bfloat16)
+def probe_matmul_peak(m=8192, iters=8):
+    """Chained bf16 matmuls under one lax.scan, scalar-forced, RTT
+    cancelled: attainable MXU ceiling (FLOP/s)."""
 
     @jax.jit
-    def mm(a):
-        return a @ a
+    def make():
+        return (jnp.eye(m) + 0.001).astype(jnp.bfloat16)
 
-    out = mm(a)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    iters = 10
-    for _ in range(iters):
-        out = mm(out * 0 + a)  # defeat CSE, keep shapes
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
-    return 2 * m ** 3 / dt
+    a = make()
+    float(a[0, 0])
+
+    def runner(length):
+        @jax.jit
+        def run(x):
+            def body(x, _):
+                return x @ a, None
+
+            x, _ = jax.lax.scan(body, x, None, length=length)
+            return x.astype(jnp.float32).sum()
+
+        x = a
+        float(run(x))
+        return min(_timed_scalar(run, x) for _ in range(3))
+
+    dt = runner(3 * iters) - runner(iters)
+    return 2 * m ** 3 * (2 * iters) / dt
 
 
 def glow_step_case(batch, dtype, L, K, hidden, hw, iters):
@@ -127,6 +159,7 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--batches", type=str, default="128,256,512,1024")
     ap.add_argument("--dtypes", type=str, default="float32,bfloat16")
+    ap.add_argument("--probes-only", action="store_true")
     args = ap.parse_args()
     enable_compilation_cache()
 
@@ -141,6 +174,8 @@ def main():
         "datasheet_peak_tflops": round(peak / 1e12, 1) if peak == peak else None,
         "measured_ridge_flops_per_byte": round(mm_peak / bw, 1),
     }), flush=True)
+    if args.probes_only:
+        return
 
     if args.tiny:
         L, K, hidden, hw = 2, 2, 32, 8

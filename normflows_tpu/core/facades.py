@@ -297,7 +297,13 @@ class ClassCondFlow(Module):
         return log_q
 
     def save(self, path: str):
+        """core.py:438-445."""
         save_model(self, path)
+
+    @classmethod
+    def load(cls, path: str):
+        """core.py:446-452."""
+        return load_model(path)
 
 
 class MultiscaleFlow(Module):
@@ -452,7 +458,13 @@ class MultiscaleFlow(Module):
         return self.replace(flows=tuple(tuple(f) for f in new_flows))
 
     def save(self, path: str):
+        """core.py:618-625."""
         save_model(self, path)
+
+    @classmethod
+    def load(cls, path: str):
+        """core.py:626-632."""
+        return load_model(path)
 
 
 def _num_classes_of(q0):

@@ -100,7 +100,7 @@ class TestClassCondFlow:
         model = self._build()
         p = str(tmp_path / "ccf.pkl")
         model.save(p)
-        m2 = nft.load_model(p)
+        m2 = nft.ClassCondFlow.load(p)  # core.py:446-452
         x = jax.random.normal(KEY, (3, 4))
         y = jnp.array([0, 1, 2])
         assert_close(model.log_prob(x, y), m2.log_prob(x, y))

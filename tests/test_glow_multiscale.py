@@ -146,3 +146,18 @@ class TestMultiscaleGlow:
         g = jax.grad(lambda d: nft.combine(d, rest).forward_kld(x))(diff)
         leaves = jax.tree.leaves(g)
         assert leaves and all(bool(jnp.all(jnp.isfinite(l))) for l in leaves)
+
+
+def test_multiscale_save_load_roundtrip(tmp_path):
+    """MultiscaleFlow.save/.load (core.py:618-632) log_prob identical."""
+    import numpy as np
+    model = build_glow()
+    x = jax.random.uniform(jax.random.key(7), (3, 3, 8, 8),
+                           minval=0.01, maxval=0.99)
+    y = jnp.array([0, 1, 2])
+    p = str(tmp_path / "ms.pkl")
+    model.save(p)
+    m2 = nft.MultiscaleFlow.load(p)
+    np.testing.assert_allclose(
+        np.asarray(model.log_prob(x, y)), np.asarray(m2.log_prob(x, y)),
+        rtol=0, atol=0)

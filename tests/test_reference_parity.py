@@ -1339,3 +1339,108 @@ def test_circular_coupled_rqs_wrapper_tensor_bound_matches_reference():
     )
     z = RNG.uniform(-2.5, 2.5, size=(13, D)).astype(np.float32)
     _assert_flow_pair_matches(ours, ref, z)
+
+
+# ---------------------------------------------------------------------------
+# Conditional facade estimators (core.py:216-366): context threaded through
+# the base encoder, every flow layer, the STL re-pass, and the target.
+# ---------------------------------------------------------------------------
+
+class _FixedEpsCondDiagGaussian(distributions.ConditionalDiagGaussian):
+    eps: jnp.ndarray = None
+
+    def sample_and_log_prob(self, key, num_samples: int = 1, context=None):
+        mean, log_scale = self._params(context)
+        eps = self.eps[:num_samples]
+        z = mean + jnp.exp(log_scale) * eps
+        log_p = -0.5 * self.d * np.log(2 * np.pi) - jnp.sum(
+            log_scale + 0.5 * eps**2, axis=tuple(range(1, eps.ndim))
+        )
+        return z, log_p
+
+
+@pytest.mark.parametrize("score_fn", [True, False])
+def test_conditional_reverse_kld_matches_reference(score_fn):
+    """ConditionalNormalizingFlow.reverse_kld (core.py:338-366) with a
+    context-encoded base (base.py:104-155), context-aware AR-NSF layers,
+    and a context-conditional target (target.py:198-224); identical
+    injected eps on both sides.  Values oracle-checked for the plain and
+    sticking-the-landing estimators; encoder gradients (plain-MLP mapping)
+    oracle-checked too."""
+    D, C, N, K, bins = 2, 4, 16, 2, 5
+    torch.manual_seed(43)
+    eps = RNG.normal(size=(N, D)).astype(np.float32)
+
+    # context = concat(mean, std) consumed by both the encoder and target
+    ctx = np.concatenate(
+        [RNG.normal(size=(N, D)), RNG.uniform(0.5, 1.5, size=(N, D))],
+        axis=1,
+    ).astype(np.float32)
+
+    ref_enc = ref_nf.nets.MLP([C, 16, 2 * D])
+
+    class RefFixedEpsCond(ref_nf.distributions.base.ConditionalDiagGaussian):
+        def forward(self, num_samples=1, context=None):
+            out = self.context_encoder(context)
+            split = out.shape[-1] // 2
+            mean, log_scale = out[..., :split], out[..., split:]
+            e = torch.tensor(eps)[:num_samples]
+            z = mean + torch.exp(log_scale) * e
+            log_p = -0.5 * self.d * np.log(2 * np.pi) - torch.sum(
+                log_scale + 0.5 * e**2, list(range(1, self.n_dim + 1))
+            )
+            return z, log_p
+
+    ref_flows, our_flows = [], []
+    for i in range(K):
+        rf = ref_nf.flows.AutoregressiveRationalQuadraticSpline(
+            D, 2, 24, num_context_channels=C, num_bins=bins,
+            init_identity=False)
+        of = flows.AutoregressiveRationalQuadraticSpline.create(
+            jax.random.key(i), D, 2, 24, num_context_channels=C,
+            num_bins=bins, init_identity=False)
+        of = of.replace(
+            mprqat=of.mprqat.replace(
+                autoregressive_net=copy_made(
+                    of.mprqat.autoregressive_net, rf.mprqat.autoregressive_net,
+                    D, bins, "linear",
+                )
+            )
+        )
+        ref_flows.append(rf)
+        our_flows.append(of)
+
+    ref_model = ref_nf.ConditionalNormalizingFlow(
+        RefFixedEpsCond((D,), ref_enc), ref_flows,
+        p=ref_nf.distributions.target.ConditionalDiagGaussian(),
+    )
+    our_base = _FixedEpsCondDiagGaussian(
+        context_encoder=copy_mlp(ref_enc), shape=(D,), eps=jnp.asarray(eps)
+    )
+    our_model = nf.ConditionalNormalizingFlow.create(
+        our_base, our_flows, p=distributions.ConditionalDiagGaussianTarget()
+    )
+
+    ref_loss = ref_model.reverse_kld(
+        N, context=torch.tensor(ctx), beta=0.8, score_fn=score_fn)
+    ref_model.zero_grad()
+    ref_loss.backward()
+
+    diff, rest = nf.partition(our_model)  # MADE masks/degrees are int buffers
+
+    def loss_fn(d):
+        return nf.combine(d, rest).reverse_kld(
+            jax.random.key(0), N, context=jnp.asarray(ctx), beta=0.8,
+            score_fn=score_fn)
+
+    our_loss, our_grads = jax.value_and_grad(loss_fn)(diff)
+    assert_close(our_loss, ref_loss, atol=2e-5, rtol=2e-5)
+    # encoder grads (plain MLP -> exact leaf mapping)
+    ref_linears = [m for m in ref_enc.net if isinstance(m, torch.nn.Linear)]
+    for j, (our_lin, ref_lin) in enumerate(
+        zip(our_grads.q0.context_encoder.linears, ref_linears)
+    ):
+        assert_close(our_lin.weight, ref_lin.weight.grad.T, atol=2e-5,
+                     rtol=2e-4, msg=f"encoder linear {j} weight grad")
+        assert_close(our_lin.bias, ref_lin.bias.grad, atol=2e-5, rtol=2e-4,
+                     msg=f"encoder linear {j} bias grad")

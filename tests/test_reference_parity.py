@@ -292,6 +292,35 @@ def test_glow_base_log_prob_matches_reference():
     )
 
 
+def test_glow_base_class_cond_and_temperature_match_reference():
+    """GlowBase class-conditional offsets (base.py:380-397) and temperature
+    annealing (base.py:424-425) on the log_prob path."""
+    C = 4
+    torch.manual_seed(47)
+    ref = ref_nf.distributions.GlowBase((3, 4, 4), num_classes=C)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.add_(0.2 * torch.randn_like(p))
+    ours = distributions.GlowBase.create((3, 4, 4), num_classes=C)
+    ours = ours.replace(
+        loc=t2j(ref.loc), loc_logs=t2j(ref.loc_logs),
+        log_scale=t2j(ref.log_scale), log_scale_logs=t2j(ref.log_scale_logs),
+        loc_cc=t2j(ref.loc_cc), log_scale_cc=t2j(ref.log_scale_cc),
+    )
+    z = RNG.normal(size=(6, 3, 4, 4)).astype(np.float32)
+    y = RNG.integers(0, C, size=6)
+    assert_close(
+        ours.log_prob(jnp.asarray(z), jnp.asarray(y)),
+        ref.log_prob(torch.tensor(z), torch.tensor(y)), atol=1e-4,
+    )
+    ref.temperature = 0.7
+    ours_t = ours.replace(temperature=0.7)
+    assert_close(
+        ours_t.log_prob(jnp.asarray(z), jnp.asarray(y)),
+        ref.log_prob(torch.tensor(z), torch.tensor(y)), atol=1e-4,
+    )
+
+
 # ---------------------------------------------------------------------------
 # MADE (mask construction + full net)
 # ---------------------------------------------------------------------------
@@ -1444,3 +1473,49 @@ def test_conditional_reverse_kld_matches_reference(score_fn):
                      rtol=2e-4, msg=f"encoder linear {j} weight grad")
         assert_close(our_lin.bias, ref_lin.bias.grad, atol=2e-5, rtol=2e-4,
                      msg=f"encoder linear {j} bias grad")
+
+
+def test_conv_residual_net_matches_reference():
+    """ConvResidualNet (resnet.py:156-209): 1x1 in/out convs, 3x3 residual
+    blocks with GLU context gating — the param net for image-NSF couplings.
+    Weight-copied output oracle, with and without context."""
+
+    def copy_conv(our_conv, ref_conv):
+        return our_conv.replace(
+            weight=t2j(ref_conv.weight), bias=t2j(ref_conv.bias))
+
+    C_in, C_out, H, hidden, ctx_ch = 3, 6, 6, 8, 2
+    torch.manual_seed(53)
+    for with_ctx in (False, True):
+        cc = ctx_ch if with_ctx else None
+        ref = ref_nf.nets.ConvResidualNet(
+            in_channels=C_in, out_channels=C_out, hidden_channels=hidden,
+            context_channels=cc, num_blocks=2)
+        with torch.no_grad():
+            for p in ref.parameters():
+                p.add_(0.1 * torch.randn_like(p))
+        ours = nf.nets.ConvResidualNet.create(
+            jax.random.key(0), C_in, C_out, hidden, context_channels=cc,
+            num_blocks=2)
+        ours = ours.replace(
+            initial_layer=copy_conv(ours.initial_layer, ref.initial_layer),
+            final_layer=copy_conv(ours.final_layer, ref.final_layer),
+            blocks=tuple(
+                ob.replace(
+                    conv_0=copy_conv(ob.conv_0, rb.conv_layers[0]),
+                    conv_1=copy_conv(ob.conv_1, rb.conv_layers[1]),
+                    context_layer=(
+                        copy_conv(ob.context_layer, rb.context_layer)
+                        if with_ctx else None),
+                )
+                for ob, rb in zip(ours.blocks, ref.blocks)
+            ),
+        )
+        x = RNG.normal(size=(4, C_in, H, H)).astype(np.float32)
+        ctx = (RNG.normal(size=(4, ctx_ch, H, H)).astype(np.float32)
+               if with_ctx else None)
+        ref_out = (ref(torch.tensor(x), torch.tensor(ctx)) if with_ctx
+                   else ref(torch.tensor(x)))
+        our_out = ours(jnp.asarray(x), jnp.asarray(ctx) if with_ctx else None)
+        assert_close(our_out, ref_out, atol=1e-5, rtol=1e-4,
+                     msg=f"with_ctx={with_ctx}")

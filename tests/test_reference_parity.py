@@ -1519,3 +1519,73 @@ def test_conv_residual_net_matches_reference():
         our_out = ours(jnp.asarray(x), jnp.asarray(ctx) if with_ctx else None)
         assert_close(our_out, ref_out, atol=1e-5, rtol=1e-4,
                      msg=f"with_ctx={with_ctx}")
+
+
+def test_conv_coupled_rqs_4d_matches_reference():
+    """PiecewiseRationalQuadraticCoupling on NCHW images with a
+    ConvResidualNet param map (coupling.py:71-77, 150-160 image path +
+    hidden_channels sqrt-rescale coupling.py:334-343).  The reference's
+    ragged per-channel 3K-1 (linear-tails) final-conv layout is scattered
+    into our uniform 3K+1 slots."""
+
+    def copy_conv(our_conv, ref_conv):
+        return our_conv.replace(
+            weight=t2j(ref_conv.weight), bias=t2j(ref_conv.bias))
+
+    def expand_final_conv(our_final, ref_final, d_tr, num_bins):
+        m_ours = 3 * num_bins + 1
+        m_ref, smap = _final_slot_map(num_bins, "linear")
+        rw = ref_final.weight.detach().numpy()  # (d_tr*m_ref, hidden, 1, 1)
+        rb = ref_final.bias.detach().numpy()
+        hidden = rw.shape[1]
+        W = np.zeros((d_tr * m_ours, hidden, 1, 1), np.float32)
+        B = np.zeros(d_tr * m_ours, np.float32)
+        for d in range(d_tr):
+            for j, slot in enumerate(smap):
+                W[d * m_ours + slot] = rw[d * m_ref + j]
+                B[d * m_ours + slot] = rb[d * m_ref + j]
+        return our_final.replace(weight=jnp.asarray(W), bias=jnp.asarray(B))
+
+    C, hw, hidden, K = 4, 6, 8, 4
+    mask = np.array([1, 0, 1, 0])
+    d_tr = int((np.asarray(mask) > 0).sum())
+    torch.manual_seed(59)
+
+    def ref_net_fn(in_ch, out_ch):
+        return ref_nf.nets.ConvResidualNet(
+            in_channels=in_ch, out_channels=out_ch, hidden_channels=hidden,
+            num_blocks=2)
+
+    ref = ref_nf.flows.neural_spline.coupling.PiecewiseRationalQuadraticCoupling(
+        mask=torch.tensor(mask), transform_net_create_fn=ref_net_fn,
+        num_bins=K, tails="linear", tail_bound=3.0)
+    with torch.no_grad():
+        for p in ref.parameters():
+            p.add_(0.1 * torch.randn_like(p))
+
+    from normflows_tpu.nets import ConvResidualNet
+
+    def net_fn(in_ch, out_ch):
+        return ConvResidualNet.create(jax.random.key(0), in_ch, out_ch,
+                                      hidden_channels=hidden, num_blocks=2)
+
+    ours = flows.PiecewiseRationalQuadraticCoupling.create(
+        mask=mask, transform_net_create_fn=net_fn, num_bins=K,
+        tails="linear", tail_bound=3.0)
+    net = ours.transform_net
+    net = net.replace(
+        initial_layer=copy_conv(net.initial_layer, ref.transform_net.initial_layer),
+        blocks=tuple(
+            ob.replace(
+                conv_0=copy_conv(ob.conv_0, rb.conv_layers[0]),
+                conv_1=copy_conv(ob.conv_1, rb.conv_layers[1]),
+            )
+            for ob, rb in zip(net.blocks, ref.transform_net.blocks)
+        ),
+        final_layer=expand_final_conv(
+            net.final_layer, ref.transform_net.final_layer, d_tr, K),
+    )
+    ours = ours.replace(transform_net=net)
+
+    z = RNG.uniform(-2.5, 2.5, size=(3, C, hw, hw)).astype(np.float32)
+    _assert_flow_pair_matches(ours, ref, z)

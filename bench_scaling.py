@@ -100,11 +100,17 @@ def main():
     ap.add_argument("--no-bf16", dest="bf16", action="store_false")
     ap.add_argument("--distributed", action="store_true",
                     help="call jax.distributed.initialize() first (multi-host)")
+    ap.add_argument("--coordinator", default=None,
+                    help="explicit coordinator address host:port (multi-process "
+                         "CPU clusters; TPU pods auto-detect)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
-    if args.distributed:
+    if args.distributed or args.coordinator:
         from normflows_tpu.parallel import initialize_distributed
-        initialize_distributed()
+        initialize_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
 
     enable_compilation_cache()
     n_avail = len(jax.devices())
@@ -127,6 +133,8 @@ def main():
         if rate_1 is None or n == 1:
             rate_1 = rate if n == 1 else rate / n  # fall back if 1 not measured
         eff = rate / (n * rate_1)
+        if jax.process_index() != 0:
+            continue
         print(json.dumps({
             "metric": "scaling_samples_per_sec",
             "devices": n,

@@ -129,16 +129,22 @@ class ScanChain(Flow):
 
     stacked: Flow  # layer pytree with leading stack axis on every leaf
     depth: int = static_field()
+    remat: bool = static_field(default=False)
 
     @classmethod
-    def create(cls, layers):
+    def create(cls, layers, remat: bool = False):
+        """``remat=True`` wraps the scan body in ``jax.checkpoint``:
+        per-layer activations are recomputed in the backward pass instead of
+        stored, cutting training-memory from O(depth) to O(1) layers — the
+        TPU lever for deep stacks that would otherwise exhaust HBM (trade
+        ~1/3 more FLOPs for activation memory)."""
         layers = list(layers)
         depth = len(layers)
         treedefs = {jax.tree.structure(l) for l in layers}
         if len(treedefs) != 1:
             raise ValueError("ScanChain requires homogeneous layers")
         stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
-        return cls(stacked=stacked, depth=depth)
+        return cls(stacked=stacked, depth=depth, remat=remat)
 
     def _scan(self, z, context, reverse):
         def body(carry, layer):
@@ -149,6 +155,8 @@ class ScanChain(Flow):
                 z, ld = layer.forward(z, context)
             return (z, log_det + ld), None
 
+        if self.remat:
+            body = jax.checkpoint(body)
         (z, log_det), _ = jax.lax.scan(
             body, (z, zero_log_det_like_z(z)), self.stacked, reverse=reverse
         )

@@ -256,6 +256,28 @@ class TestComposition:
         assert_close(a, b, atol=1e-5)
         assert_close(ld_a, ld_b, atol=1e-5)
 
+    def test_scan_chain_remat_same_values_and_grads(self):
+        """ScanChain(remat=True) recomputes activations in the backward pass
+        (jax.checkpoint around the scan body) — values AND gradients must be
+        identical to the stored-activation chain."""
+        keys = jax.random.split(KEY, 6)
+        layers = [
+            flows.Planar.create((4,), act="leaky_relu", key=k) for k in keys
+        ]
+        plain = flows.ScanChain.create(layers)
+        remat = flows.ScanChain.create(layers, remat=True)
+        z = rand((5, 4))
+
+        def loss(chain):
+            out, ld = chain.forward(z)
+            return jnp.sum(out**2) + jnp.sum(ld)
+
+        lp, gp = jax.value_and_grad(loss)(plain)
+        lr, gr = jax.value_and_grad(loss)(remat)
+        assert_close(lp, lr, atol=1e-6)
+        for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gr)):
+            assert_close(a, b, atol=1e-6)
+
 
 class TestModuleSystem:
     def test_partition_combine(self):

@@ -51,17 +51,29 @@ def export_sampler(
     model,
     num_samples: int,
     platforms: Optional[Sequence[str]] = None,
+    class_cond: bool = False,
 ):
     """Export ``seed -> (samples, log_q)`` with params baked in.
 
     ``seed`` is a uint32 scalar; the PRNG key is built inside the graph so
-    the exported calling convention is arrays-only.
+    the exported calling convention is arrays-only.  With
+    ``class_cond=True`` (class-conditional models: MultiscaleFlow with
+    class-cond bases, ClassCondFlow) the endpoint is
+    ``(seed, y) -> (samples, log_q)`` with ``y`` an int32 label vector of
+    length ``num_samples``.
     """
+    seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
+    if class_cond:
+        def sample(seed, y):
+            return model.sample(jax.random.key(seed), num_samples, y)
+
+        y_spec = jax.ShapeDtypeStruct((num_samples,), jnp.int32)
+        return jax_export.export(
+            jax.jit(sample), platforms=_platforms(platforms))(seed_spec, y_spec)
 
     def sample(seed):
         return model.sample_and_log_prob(jax.random.key(seed), num_samples)
 
-    seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
     return jax_export.export(
         jax.jit(sample), platforms=_platforms(platforms))(seed_spec)
 
@@ -71,13 +83,20 @@ def export_log_prob(
     event_shape: Sequence[int],
     platforms: Optional[Sequence[str]] = None,
     symbolic_batch: bool = True,
+    class_cond: bool = False,
 ):
-    """Export ``x -> log_prob(x)`` with a symbolic batch dimension."""
+    """Export ``x -> log_prob(x)`` (or ``(x, y) ->`` when class-cond) with a
+    symbolic batch dimension shared by ``x`` and ``y``."""
     if symbolic_batch:
         (b,) = jax_export.symbolic_shape("b")
-        x_spec = jax.ShapeDtypeStruct((b, *event_shape), jnp.float32)
     else:
-        x_spec = jax.ShapeDtypeStruct((1, *event_shape), jnp.float32)
+        b = 1
+    x_spec = jax.ShapeDtypeStruct((b, *event_shape), jnp.float32)
+    if class_cond:
+        y_spec = jax.ShapeDtypeStruct((b,), jnp.int32)
+        return jax_export.export(
+            jax.jit(model.log_prob), platforms=_platforms(platforms))(
+                x_spec, y_spec)
     return jax_export.export(
         jax.jit(model.log_prob), platforms=_platforms(platforms))(x_spec)
 
@@ -89,12 +108,14 @@ def save_bundle(
     event_shape: Sequence[int],
     platforms: Optional[Sequence[str]] = None,
     symbolic_batch: bool = True,
+    class_cond: bool = False,
 ):
     """Write a serving bundle: ``sample.bin``, ``log_prob.bin``,
     ``manifest.json`` under ``path``."""
     os.makedirs(path, exist_ok=True)
-    smp = export_sampler(model, num_samples, platforms)
-    lp = export_log_prob(model, event_shape, platforms, symbolic_batch)
+    smp = export_sampler(model, num_samples, platforms, class_cond=class_cond)
+    lp = export_log_prob(model, event_shape, platforms, symbolic_batch,
+                         class_cond=class_cond)
     with open(os.path.join(path, "sample.bin"), "wb") as f:
         f.write(smp.serialize())
     with open(os.path.join(path, "log_prob.bin"), "wb") as f:
@@ -106,6 +127,7 @@ def save_bundle(
                 "event_shape": list(event_shape),
                 "platforms": list(smp.platforms),
                 "symbolic_batch": symbolic_batch,
+                "class_cond": class_cond,
                 "calling_convention_version":
                     smp.calling_convention_version,
             },
@@ -122,11 +144,17 @@ class ServingBundle:
         self._log_prob = log_prob_exp
         self.manifest = manifest
 
-    def sample(self, seed: int):
-        return self._sample.call(jnp.asarray(seed, jnp.uint32))
+    def sample(self, seed: int, y=None):
+        seed = jnp.asarray(seed, jnp.uint32)
+        if self.manifest.get("class_cond"):
+            return self._sample.call(seed, jnp.asarray(y, jnp.int32))
+        return self._sample.call(seed)
 
-    def log_prob(self, x):
-        return self._log_prob.call(jnp.asarray(x, jnp.float32))
+    def log_prob(self, x, y=None):
+        x = jnp.asarray(x, jnp.float32)
+        if self.manifest.get("class_cond"):
+            return self._log_prob.call(x, jnp.asarray(y, jnp.int32))
+        return self._log_prob.call(x)
 
 
 def load_bundle(path: str) -> ServingBundle:

@@ -94,3 +94,35 @@ class TestServingBundle:
         exp = serving.export_sampler(model, 8)
         z, lq = exp.call(jnp.uint32(0))
         assert z.shape == (8, 2) and lq.shape == (8,)
+
+
+class TestClassCondServing:
+    def test_class_cond_multiscale_bundle(self, tmp_path):
+        """Class-conditional export: (seed, y) sampler + (x, y) log_prob
+        with a shared symbolic batch dim (MultiscaleFlow, class-cond bases)."""
+        from test_glow_multiscale import build_glow
+
+        model = build_glow()
+        x = jax.random.uniform(jax.random.key(3), (5, 3, 8, 8),
+                               minval=0.01, maxval=0.99)
+        y = jnp.array([0, 1, 2, 3, 0])
+        p = str(tmp_path / "ccbundle")
+        serving.save_bundle(model, p, num_samples=4, event_shape=(3, 8, 8),
+                            class_cond=True)
+        bundle = serving.load_bundle(p)
+        assert bundle.manifest["class_cond"] is True
+
+        np.testing.assert_allclose(
+            np.asarray(bundle.log_prob(x, y)),
+            np.asarray(model.log_prob(x, y)), rtol=1e-5, atol=1e-5)
+        # any batch size through the symbolic dim
+        np.testing.assert_allclose(
+            np.asarray(bundle.log_prob(x[:2], y[:2])),
+            np.asarray(model.log_prob(x[:2], y[:2])), rtol=1e-5, atol=1e-5)
+
+        ys = jnp.array([0, 1, 2, 3])
+        samples, log_q = bundle.sample(7, ys)
+        assert samples.shape == (4, 3, 8, 8)
+        z_live, lq_live = model.sample(jax.random.key(7), 4, ys)
+        np.testing.assert_allclose(np.asarray(samples), np.asarray(z_live),
+                                   rtol=1e-5, atol=1e-5)

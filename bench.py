@@ -23,7 +23,7 @@ import optax
 import normflows_tpu as nf
 from normflows_tpu import flows, distributions
 from normflows_tpu.utils import enable_compilation_cache
-from normflows_tpu.utils.profiling import chip_peak_flops
+from normflows_tpu.utils.profiling import chip_peak_flops, executable_cost
 
 BASELINE_SAMPLES_PER_SEC = 535.2  # see BASELINE_MEASURED.json
 
@@ -94,8 +94,7 @@ def main():
         .lower(diff, opt_state, jax.random.key(1))
         .compile()
     )
-    ca = step_compiled.cost_analysis()
-    ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
+    ca = executable_cost(step_compiled)
     flops_per_step = float(ca.get("flops", 0.0))
 
     # warmup

@@ -129,6 +129,17 @@ def main():
             print(json.dumps({"metric": "scaling_samples_per_sec", "devices": n,
                               "skipped": f"only {n_avail} devices"}))
             continue
+        if jax.process_count() > 1 and n < n_avail:
+            # A sub-global mesh would contain devices only some processes can
+            # address while every process executes the step — an error (or
+            # hang).  Multi-process sweeps measure per-point by varying the
+            # process count per invocation instead.
+            if jax.process_index() == 0:
+                print(json.dumps({
+                    "metric": "scaling_samples_per_sec", "devices": n,
+                    "skipped": "multi-process run: only the global device "
+                               "count is measurable per invocation"}))
+            continue
         rate = measure_point(model, n, args.samples_per_device, args.iters)
         if rate_1 is None or n == 1:
             rate_1 = rate if n == 1 else rate / n  # fall back if 1 not measured

@@ -34,7 +34,7 @@ import optax
 
 import normflows_tpu as nf
 from normflows_tpu.utils import enable_compilation_cache
-from normflows_tpu.utils.profiling import chip_peak_flops
+from normflows_tpu.utils.profiling import chip_peak_flops, executable_cost
 
 
 def _timed_scalar(fn, *args):
@@ -134,8 +134,7 @@ def glow_step_case(batch, dtype, L, K, hidden, hw, iters):
         jax.jit(step, donate_argnums=(0, 1))
         .lower(diff, opt_state, x, y).compile()
     )
-    ca = compiled.cost_analysis()
-    ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
+    ca = executable_cost(compiled)
     flops = float(ca.get("flops", 0.0))
     byts = float(ca.get("bytes accessed", 0.0))
 

@@ -25,15 +25,14 @@ import optax
 
 import normflows_tpu as nf
 from normflows_tpu.utils import enable_compilation_cache
-from normflows_tpu.utils.profiling import chip_peak_flops
+from normflows_tpu.utils.profiling import chip_peak_flops, executable_cost
 
 
 def timed_compiled_step(step_fn, args, iters, warmup=3, donate=(0, 1)):
     """AOT-compile, pull cost analysis from the SAME executable, then time it."""
     jitted = jax.jit(step_fn, donate_argnums=donate)
     compiled = jitted.lower(*args).compile()
-    ca = compiled.cost_analysis()
-    ca = ca[0] if isinstance(ca, (list, tuple)) else (ca or {})
+    ca = executable_cost(compiled)
     flops = float(ca.get("flops", 0.0))
     byts = float(ca.get("bytes accessed", 0.0))
 

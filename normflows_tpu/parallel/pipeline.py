@@ -185,9 +185,13 @@ def make_pipeline_train_step(
 
     Layer parameters live stage-sharded (leading stage axis placed over
     ``stage_axis``), so each device holds only its own stages' layers and
-    their optimizer moments.  Returns ``(step_fn, state)`` with
-    ``step_fn(state, batch, key) -> (state, loss)``; for ``reverse_kld``
-    pass ``batch=None``.
+    their optimizer moments.  Returns
+    ``(step_fn, diff, (rest_stack, rest_shell), opt_state)`` with
+    ``step_fn(diff, opt_state, batch, key) -> (diff, opt_state, loss)`` and
+    ``diff = {"stack": ..., "shell": ...}`` (stage-stacked layer params +
+    replicated base/target params; note ``rest`` is the two matching
+    non-trainable parts, NOT a tree combinable with ``nf.combine(diff,
+    rest)`` directly).  For ``reverse_kld`` pass ``batch=None``.
     """
     if objective not in ("forward_kld", "reverse_kld"):
         raise ValueError(f"unknown objective {objective!r}")

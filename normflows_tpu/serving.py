@@ -144,15 +144,28 @@ class ServingBundle:
         self._log_prob = log_prob_exp
         self.manifest = manifest
 
+    def _check_y(self, y, method):
+        if self.manifest.get("class_cond"):
+            if y is None:
+                raise ValueError(
+                    f"this bundle was exported with class_cond=True; "
+                    f"{method} requires a label vector y")
+            return True
+        if y is not None:
+            raise ValueError(
+                f"this bundle is unconditional; {method} does not accept y "
+                "(re-export with class_cond=True for conditional endpoints)")
+        return False
+
     def sample(self, seed: int, y=None):
         seed = jnp.asarray(seed, jnp.uint32)
-        if self.manifest.get("class_cond"):
+        if self._check_y(y, "sample"):
             return self._sample.call(seed, jnp.asarray(y, jnp.int32))
         return self._sample.call(seed)
 
     def log_prob(self, x, y=None):
         x = jnp.asarray(x, jnp.float32)
-        if self.manifest.get("class_cond"):
+        if self._check_y(y, "log_prob"):
             return self._log_prob.call(x, jnp.asarray(y, jnp.int32))
         return self._log_prob.call(x)
 

@@ -115,6 +115,20 @@ def chip_peak_flops(device=None) -> float:
             return peak
     return float("nan")
 
+def executable_cost(compiled) -> Mapping[str, Any]:
+    """Unwrap ``compiled.cost_analysis()`` across jax versions.
+
+    Some jaxlib versions return a per-partition list, others a bare mapping
+    or None; every FLOP/bytes consumer must use this one shim (bench.py and
+    the benchmark examples included) so a future format change is fixed in
+    one place.
+    """
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return ca or {}
+
+
 def cost_report(fn: Callable, *args, **kwargs) -> Mapping[str, Any]:
     """Compile ``fn(*args)`` and report XLA's static cost analysis.
 
@@ -124,8 +138,7 @@ def cost_report(fn: Callable, *args, **kwargs) -> Mapping[str, Any]:
     and the raw ``cost_analysis`` mapping.
     """
     compiled = jax.jit(fn).lower(*args, **kwargs).compile()
-    analyses = compiled.cost_analysis()
-    ca = analyses[0] if isinstance(analyses, (list, tuple)) else (analyses or {})
+    ca = executable_cost(compiled)
     flops = float(ca.get("flops", 0.0))
     byts = float(ca.get("bytes accessed", ca.get("bytes_accessed", 0.0)))
     report = {

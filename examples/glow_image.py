@@ -81,6 +81,10 @@ def main():
     ap.add_argument("--data-npz", type=str, default=None)
     ap.add_argument("--bf16", action="store_true",
                     help="run coupling-net convs in bfloat16 on the MXU (~4x)")
+    ap.add_argument("--chunked", action="store_true",
+                    help="device-resident data + 10 steps per dispatch "
+                         "(training.make_chunked_train_step) — removes the "
+                         "per-step host->device batch transfer")
     args = ap.parse_args()
 
     if args.data_npz:
@@ -125,15 +129,37 @@ def main():
     key = jax.random.key(0)
     t0 = time.time()
     n = x_all.shape[0]
-    for i in range(args.iters):
-        s = (i * args.batch) % (n - args.batch)
-        key, sub = jax.random.split(key)
-        diff, opt_state, loss = step(
-            diff, opt_state, x_all[s : s + args.batch], y_all[s : s + args.batch], sub
-        )
-        if i % 100 == 0 or i == args.iters - 1:
-            bpd = float(loss) / np.log(2) / n_dims + 8
-            print(f"iter {i:5d}  nll {float(loss):9.1f}  bits/dim {bpd:.4f}")
+    if args.chunked:
+        from normflows_tpu.training import make_chunked_train_step
+
+        def chunk_loss(m, batch, k):
+            xb, yb = batch
+            return m.forward_kld(jitter(scale(xb), k), yb)
+
+        model0 = nf.combine(diff, rest)
+        state, chunk = make_chunked_train_step(
+            model0, opt, chunk_loss, (x_all, y_all), batch_size=args.batch,
+            chunk_len=10, shuffle=False)
+        for c in range(args.iters // 10):
+            key, sub = jax.random.split(key)
+            state, metrics = chunk(state, sub)
+            i = (c + 1) * 10 - 1
+            if i % 100 == 9 or c == args.iters // 10 - 1:
+                loss = metrics["loss"][-1]
+                bpd = float(loss) / np.log(2) / n_dims + 8
+                print(f"iter {i:5d}  nll {float(loss):9.1f}  bits/dim {bpd:.4f}")
+        diff, rest = state.diff, state.rest
+        loss = metrics["loss"][-1]
+    else:
+        for i in range(args.iters):
+            s = (i * args.batch) % (n - args.batch)
+            key, sub = jax.random.split(key)
+            diff, opt_state, loss = step(
+                diff, opt_state, x_all[s : s + args.batch], y_all[s : s + args.batch], sub
+            )
+            if i % 100 == 0 or i == args.iters - 1:
+                bpd = float(loss) / np.log(2) / n_dims + 8
+                print(f"iter {i:5d}  nll {float(loss):9.1f}  bits/dim {bpd:.4f}")
     print(f"training wall time: {time.time() - t0:.1f}s")
 
     # eval bits/dim on held-out slice (glow.ipynb 'Get bits per dim' cell)

@@ -13,6 +13,7 @@ from normflows_tpu import flows, distributions
 from normflows_tpu.nets import MLP
 from normflows_tpu.training import (
     make_train_step,
+    make_chunked_train_step,
     save_checkpoint,
     restore_checkpoint,
     CheckpointManager,
@@ -85,3 +86,62 @@ class TestCheckpoint:
         mgr.close()
         for a, b in zip(jax.tree.leaves(restored["diff"]), jax.tree.leaves(state.diff)):
             assert_close(a, b)
+
+
+class TestChunkedTrainStep:
+    """make_chunked_train_step: device-resident data, chunk_len steps per
+    dispatch, on-device minibatch gather."""
+
+    def test_sequential_chunked_matches_per_step_loop(self):
+        model = build_model()
+        x_all = distributions.TwoMoons().sample(jax.random.key(5), 1024)
+        opt = optax.adam(5e-3)
+        B, C = 128, 5
+
+        loss_fn = lambda m, b, k: m.forward_kld(b)  # key-independent loss
+        state_c, chunk = make_chunked_train_step(
+            model, opt, loss_fn, x_all, batch_size=B, chunk_len=C,
+            shuffle=False)
+        state_c, metrics = chunk(state_c, jax.random.key(0))
+        assert metrics["loss"].shape == (C,)
+
+        state_p, step = make_train_step(model, opt, loss_fn)
+        for i in range(C):
+            s = (i * B) % (x_all.shape[0] - B + 1)
+            state_p, m = step(state_p, x_all[s:s + B], jax.random.key(9))
+            assert_close(m["loss"], metrics["loss"][i], atol=1e-6)
+        for a, b in zip(
+            jax.tree.leaves(state_c.diff), jax.tree.leaves(state_p.diff)
+        ):
+            assert_close(a, b, atol=1e-6)
+        assert int(state_c.step) == C
+
+    def test_shuffled_chunked_trains(self):
+        model = build_model()
+        x_all = distributions.TwoMoons().sample(jax.random.key(6), 2048)
+        state, chunk = make_chunked_train_step(
+            model, optax.adam(5e-3), lambda m, b, k: m.forward_kld(b),
+            x_all, batch_size=256, chunk_len=10, shuffle=True, donate=False)
+        first = None
+        key = jax.random.key(1)
+        for i in range(6):
+            key, sub = jax.random.split(key)
+            state, metrics = chunk(state, sub)
+            if first is None:
+                first = float(metrics["loss"][0])
+        assert float(metrics["loss"][-1]) < first
+        assert int(state.step) == 60
+
+    def test_tuple_data_and_oversized_batch(self):
+        model = build_model()
+        x = distributions.TwoMoons().sample(jax.random.key(7), 256)
+        y = jnp.zeros((256,), jnp.int32)
+        state, chunk = make_chunked_train_step(
+            model, optax.adam(1e-3), lambda m, b, k: m.forward_kld(b[0]),
+            (x, y), batch_size=64, chunk_len=2)
+        state, metrics = chunk(state, jax.random.key(0))
+        assert metrics["loss"].shape == (2,)
+        with pytest.raises(ValueError, match="exceeds dataset size"):
+            make_chunked_train_step(
+                model, optax.adam(1e-3), lambda m, b, k: m.forward_kld(b[0]),
+                (x, y), batch_size=512, chunk_len=2)

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--lr", type=float, default=5e-4)
     ap.add_argument("--bf16", action="store_true",
                     help="run MADE matmuls in bfloat16 on the MXU")
+    ap.add_argument("--chunk", type=int, default=1,
+                    help=">1: run this many steps per dispatch under one "
+                         "lax.scan (amortizes dispatch/tunnel latency; "
+                         "bench.py methodology)")
     args = ap.parse_args()
 
     model = build_model()
@@ -56,13 +60,33 @@ def main():
         updates, opt_state = opt.update(grads, opt_state, diff)
         return optax.apply_updates(diff, updates), opt_state, loss
 
+    @jax.jit
+    def chunk(diff, opt_state, key):
+        def body(carry, _):
+            diff, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            diff, opt_state, loss = step(diff, opt_state, sub)
+            return (diff, opt_state, key), loss
+
+        (diff, opt_state, key), losses = jax.lax.scan(
+            body, (diff, opt_state, key), None, length=args.chunk)
+        return diff, opt_state, key, losses[-1]
+
     key = jax.random.key(0)
     t0 = time.time()
-    for i in range(args.iters):
-        key, sub = jax.random.split(key)
-        diff, opt_state, loss = step(diff, opt_state, sub)
-        if i % 500 == 0 or i == args.iters - 1:
-            print(f"iter {i:5d}  reverse KLD {float(loss):.5f}")
+    if args.chunk > 1:
+        assert args.iters % args.chunk == 0, "--iters must divide by --chunk"
+        for c in range(args.iters // args.chunk):
+            diff, opt_state, key, loss = chunk(diff, opt_state, key)
+            i = (c + 1) * args.chunk - 1
+            if (i + 1) % 500 < args.chunk or i == args.iters - 1:
+                print(f"iter {i:5d}  reverse KLD {float(loss):.5f}")
+    else:
+        for i in range(args.iters):
+            key, sub = jax.random.split(key)
+            diff, opt_state, loss = step(diff, opt_state, sub)
+            if i % 500 == 0 or i == args.iters - 1:
+                print(f"iter {i:5d}  reverse KLD {float(loss):.5f}")
     print(f"training wall time: {time.time() - t0:.1f}s "
           f"({args.iters * args.num_samples / (time.time() - t0):.0f} samples/s)")
 

@@ -126,3 +126,36 @@ class TestClassCondServing:
         z_live, lq_live = model.sample(jax.random.key(7), 4, ys)
         np.testing.assert_allclose(np.asarray(samples), np.asarray(z_live),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_class_cond_bundle_y_validation(tmp_path):
+    """Clear errors when y is missing on a class-cond bundle or passed to an
+    unconditional one (instead of opaque asarray/shape failures)."""
+    from test_glow_multiscale import build_glow
+
+    model = build_glow()
+    p = str(tmp_path / "cc")
+    serving.save_bundle(model, p, num_samples=4, event_shape=(3, 8, 8),
+                        class_cond=True)
+    bundle = serving.load_bundle(p)
+    with pytest.raises(ValueError, match="requires a label vector"):
+        bundle.sample(3)
+    with pytest.raises(ValueError, match="requires a label vector"):
+        bundle.log_prob(jnp.zeros((2, 3, 8, 8)))
+
+    # unconditional bundle rejects y
+    K = 2
+    layers = []
+    b = jnp.array([1.0, 0.0])
+    from normflows_tpu.nets import MLP
+    for i in range(K):
+        s = MLP.create(jax.random.key(2 * i), [2, 16, 2], init_zeros=True)
+        layers.append(flows.MaskedAffineFlow.create(
+            b if i % 2 == 0 else 1 - b, t=None, s=s))
+    m2 = nf.NormalizingFlow.create(
+        distributions.DiagGaussian.create(2), layers)
+    p2 = str(tmp_path / "uncond")
+    serving.save_bundle(m2, p2, num_samples=4, event_shape=(2,))
+    b2 = serving.load_bundle(p2)
+    with pytest.raises(ValueError, match="unconditional"):
+        b2.log_prob(jnp.zeros((2, 2)), jnp.array([0, 1]))

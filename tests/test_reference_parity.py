@@ -1589,3 +1589,40 @@ def test_conv_coupled_rqs_4d_matches_reference():
 
     z = RNG.uniform(-2.5, 2.5, size=(3, C, hw, hw)).astype(np.float32)
     _assert_flow_pair_matches(ours, ref, z)
+
+
+def test_nn_helpers_match_reference():
+    """utils/nn.py helpers: ClampExp (nn.py:78-93), ConstScaleLayer
+    (nn.py:7-20), PeriodicFeaturesElementwise with learned weights + bias
+    (nn.py:96-143), PeriodicFeaturesCat (nn.py:146-178), tile (nn.py:181-187)."""
+    from normflows_tpu.utils.nn import (
+        ClampExp, ConstScaleLayer, PeriodicFeaturesElementwise,
+        PeriodicFeaturesCat, tile,
+    )
+
+    x = RNG.normal(size=(6, 5)).astype(np.float32)
+    tx = torch.tensor(x)
+
+    # reference ClampExp ignores its documented lam (nn.py:51-61 hardcodes
+    # exp(x)); ours defaults lam=1.0 which matches that behavior
+    assert_close(ClampExp()(jnp.asarray(x)), ref_nf.utils.ClampExp()(tx))
+    assert_close(ConstScaleLayer(scale=2.5)(jnp.asarray(x)),
+                 ref_nf.utils.ConstScaleLayer(2.5)(tx))
+
+    torch.manual_seed(61)
+    ref_pf = ref_nf.utils.nn.PeriodicFeaturesElementwise(
+        5, [1, 3], torch.tensor([0.5, 2.0]), bias=True)
+    with torch.no_grad():
+        ref_pf.weights.add_(0.3 * torch.randn_like(ref_pf.weights))
+        ref_pf.bias.add_(0.1 * torch.randn_like(ref_pf.bias))
+    our_pf = PeriodicFeaturesElementwise.create(
+        5, [1, 3], jnp.array([0.5, 2.0]), bias=True)
+    our_pf = our_pf.replace(weights=t2j(ref_pf.weights), bias=t2j(ref_pf.bias))
+    assert_close(our_pf(jnp.asarray(x)), ref_pf(tx), atol=1e-6)
+
+    ref_cat = ref_nf.utils.nn.PeriodicFeaturesCat(5, [0, 2], torch.tensor([1.5, 0.25]))
+    our_cat = PeriodicFeaturesCat.create(5, [0, 2], jnp.array([1.5, 0.25]))
+    assert_close(our_cat(jnp.asarray(x)), ref_cat(tx), atol=1e-6)
+
+    v = RNG.normal(size=(7,)).astype(np.float32)
+    assert_close(tile(jnp.asarray(v), 3), ref_nf.utils.tile(torch.tensor(v), 3))

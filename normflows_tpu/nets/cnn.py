@@ -62,7 +62,7 @@ class Conv2d(Module):
             )
         y = y.astype(x.dtype)
         if self.bias is not None:
-            y = y + self.bias[None, :, None, None]
+            y = y + self.bias[None, :, None, None].astype(y.dtype)
         return y
 
 
@@ -81,7 +81,9 @@ class NetActNorm(Module):
         return cls(s=jnp.zeros((1, *shape)), t=jnp.zeros((1, *shape)))
 
     def __call__(self, x):
-        return x * jnp.exp(self.s) + self.t
+        # compute in x's dtype so an end-to-end-bf16 ConvNet2d chain is not
+        # silently promoted back to f32 between convs
+        return x * jnp.exp(self.s).astype(x.dtype) + self.t.astype(x.dtype)
 
 
 class ConvNet2d(Module):
@@ -117,6 +119,12 @@ class ConvNet2d(Module):
         return cls(convs=tuple(convs), actnorms=tuple(actnorms), leaky=leaky)
 
     def __call__(self, x, context=None):
+        # NB: keeping activations bf16 BETWEEN the convs (single entry/exit
+        # cast instead of per-conv casts) was measured SLOWER on the chip
+        # (batch 128: 20.7 vs 20.0 ms; batch 512: 40.5 vs 37.6 ms,
+        # 2026-08-21): XLA already fuses the per-conv casts into the
+        # neighboring elementwise ops, and the bf16 activation chain
+        # degraded its fusion choices — so activations stay f32 here.
         for i, conv in enumerate(self.convs[:-1]):
             x = conv(x)
             if self.actnorms[i] is not None:

@@ -1626,3 +1626,37 @@ def test_nn_helpers_match_reference():
 
     v = RNG.normal(size=(7,)).astype(np.float32)
     assert_close(tile(jnp.asarray(v), 3), ref_nf.utils.tile(torch.tensor(v), 3))
+
+
+def test_prior_landscapes_match_reference():
+    """2-D energy landscapes (prior.py:77-327): TwoModes, Sinusoidal,
+    Sinusoidal_gap, Sinusoidal_split, Smiley log_probs, plus ImagePrior
+    (density from image intensities, prior.py:21-104)."""
+    from normflows_tpu.distributions import prior as our_prior
+
+    z = RNG.uniform(-2.5, 2.5, size=(40, 2)).astype(np.float32)
+    tz = torch.tensor(z)
+    cases = [
+        (our_prior.TwoModes(loc=2.0, scale=0.2),
+         ref_nf.distributions.TwoModes(2.0, 0.2)),
+        (our_prior.Sinusoidal(scale=1.0, period=1.0),
+         ref_nf.distributions.Sinusoidal(1.0, 1.0)),
+        (our_prior.Sinusoidal_gap(scale=1.0, period=1.0),
+         ref_nf.distributions.Sinusoidal_gap(1.0, 1.0)),
+        (our_prior.Sinusoidal_split(scale=1.0, period=1.0),
+         ref_nf.distributions.Sinusoidal_split(1.0, 1.0)),
+        (our_prior.Smiley(scale=1.0), ref_nf.distributions.Smiley(1.0)),
+    ]
+    for ours, ref in cases:
+        assert_close(
+            ours.log_prob(jnp.asarray(z)), ref.log_prob(tz),
+            atol=1e-4, rtol=1e-4, msg=type(ref).__name__,
+        )
+
+    img = RNG.uniform(0.05, 1.0, size=(12, 10)).astype(np.float32)
+    ref_ip = ref_nf.distributions.ImagePrior(img)
+    our_ip = our_prior.ImagePrior.create(img)
+    assert_close(
+        our_ip.log_prob(jnp.asarray(z)), ref_ip.log_prob(tz),
+        atol=1e-4, rtol=1e-4, msg="ImagePrior",
+    )

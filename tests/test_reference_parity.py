@@ -1660,3 +1660,37 @@ def test_prior_landscapes_match_reference():
         our_ip.log_prob(jnp.asarray(z)), ref_ip.log_prob(tz),
         atol=1e-4, rtol=1e-4, msg="ImagePrior",
     )
+
+
+def test_simple_encoders_and_shift_match_reference():
+    """Dirac / Uniform encoders (encoder.py:38-70), ConstDiagGaussian
+    (encoder.py:73-126) log_probs, and the Shift flow (transforms.py:50-77)."""
+    from normflows_tpu.distributions.encoder import Dirac, Uniform, ConstDiagGaussian
+    from normflows_tpu import transforms as our_transforms
+
+    x = RNG.normal(size=(4, 3)).astype(np.float32)
+    z = RNG.normal(size=(4, 2, 3)).astype(np.float32)
+    tz, tx = torch.tensor(z), torch.tensor(x)
+
+    assert_close(Dirac().log_prob(jnp.asarray(z), jnp.asarray(x)),
+                 ref_nf.distributions.Dirac().log_prob(tz, tx))
+    assert_close(
+        Uniform(zmin=-1.5, zmax=2.0).log_prob(jnp.asarray(z), jnp.asarray(x)),
+        ref_nf.distributions.Uniform(-1.5, 2.0).log_prob(tz, tx), atol=1e-6)
+
+    loc = RNG.normal(size=(3,)).astype(np.float32)
+    scale = RNG.uniform(0.5, 1.5, size=(3,)).astype(np.float32)
+    ours_cdg = ConstDiagGaussian.create(loc, scale)
+    ref_cdg = ref_nf.distributions.encoder.ConstDiagGaussian(
+        torch.tensor(loc), torch.tensor(scale))
+    assert_close(ours_cdg.log_prob(jnp.asarray(z), jnp.asarray(x)),
+                 ref_cdg.log_prob(tz, tx), atol=1e-5)
+
+    zb = RNG.normal(size=(6, 3)).astype(np.float32)
+    ref_shift = ref_nf.transforms.Shift(torch.tensor([0.5, -1.0, 2.0]))
+    our_shift = our_transforms.Shift(shift=jnp.array([0.5, -1.0, 2.0]))
+    for direction in ("forward", "inverse"):
+        zr, ldr = getattr(ref_shift, direction)(torch.tensor(zb))
+        zo, ldo = getattr(our_shift, direction)(jnp.asarray(zb))
+        assert_close(zo, zr, atol=1e-6, msg=f"Shift {direction}")
+        assert_close(ldo, ldr, atol=1e-6, msg=f"Shift {direction} logdet")

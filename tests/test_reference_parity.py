@@ -1694,3 +1694,31 @@ def test_simple_encoders_and_shift_match_reference():
         zo, ldo = getattr(our_shift, direction)(jnp.asarray(zb))
         assert_close(zo, zr, atol=1e-6, msg=f"Shift {direction}")
         assert_close(ldo, ldr, atol=1e-6, msg=f"Shift {direction} logdet")
+
+
+def test_linear_interpolation_and_mh_proposal_match_reference():
+    """LinearInterpolation (linear_interpolation.py:1-27) and
+    DiagGaussianProposal.log_prob (mh_proposal.py:47-83)."""
+    from normflows_tpu.distributions import LinearInterpolation
+    from normflows_tpu.distributions.mh_proposal import DiagGaussianProposal
+
+    torch.manual_seed(67)
+    ref_d1 = ref_nf.distributions.DiagGaussian(2)
+    ref_d2 = ref_nf.distributions.TwoMoons()
+    with torch.no_grad():
+        ref_d1.loc.add_(torch.randn_like(ref_d1.loc))
+    our_d1 = distributions.DiagGaussian.create(2).replace(
+        loc=t2j(ref_d1.loc), log_scale=t2j(ref_d1.log_scale))
+    z = RNG.normal(size=(9, 2)).astype(np.float32)
+    ref_li = ref_nf.distributions.LinearInterpolation(ref_d1, ref_d2, 0.3)
+    our_li = LinearInterpolation(
+        dist1=our_d1, dist2=distributions.TwoMoons(), alpha=0.3)
+    assert_close(our_li.log_prob(jnp.asarray(z)),
+                 ref_li.log_prob(torch.tensor(z)), atol=1e-5)
+
+    ref_prop = ref_nf.distributions.DiagGaussianProposal((2,), 0.7)
+    our_prop = DiagGaussianProposal.create(2, 0.7)
+    z_ = RNG.normal(size=(9, 2)).astype(np.float32)
+    assert_close(
+        our_prop.log_prob(jnp.asarray(z_), jnp.asarray(z)),
+        ref_prop.log_prob(torch.tensor(z_), torch.tensor(z)), atol=1e-5)

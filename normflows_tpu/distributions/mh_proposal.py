@@ -23,6 +23,14 @@ class MHProposal(Module):
     def __call__(self, z, key):
         raise NotImplementedError
 
+    def propose_from_noise(self, z, eps):
+        """Deterministic replay hook: build the proposal from pre-drawn
+        standard-normal noise ``eps`` instead of a PRNG key.  Used by
+        reproducibility tooling and the injected-randomness parity oracle
+        (the reference draws the same eps via torch.randn,
+        mh_proposal.py:80-84)."""
+        raise NotImplementedError
+
 
 class DiagGaussianProposal(MHProposal):
     """Gaussian random-walk proposal; symmetric so the ratio is 0
@@ -51,3 +59,6 @@ class DiagGaussianProposal(MHProposal):
     def __call__(self, z, key):
         z_ = self.sample(z, key)
         return z_, jnp.zeros(z.shape[0], z.dtype)
+
+    def propose_from_noise(self, z, eps):
+        return eps * self.scale + z, jnp.zeros(z.shape[0], z.dtype)

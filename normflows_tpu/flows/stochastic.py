@@ -43,31 +43,49 @@ class MetropolisHastings(Flow):
     proposal: Module
     steps: int = static_field(default=1)
 
-    def forward(self, z, context=None, *, key=None):
-        key = _require_key(key, "MetropolisHastings")
+    def forward(self, z, context=None, *, key=None, noise=None):
+        """``noise`` (optional) replays pre-drawn randomness instead of the
+        key: a ``(eps, w)`` pair with proposal standard normals ``eps`` of
+        shape ``(steps, batch, *event)`` and accept uniforms ``w`` of shape
+        ``(steps, batch)``.  Matches the reference's draw order
+        (stochastic.py:33,36) for deterministic replay / parity oracles."""
+        if noise is None:
+            key = _require_key(key, "MetropolisHastings")
         log_p = self.target.log_prob(z)
         log_det = jnp.zeros(z.shape[0], z.dtype)
 
-        def body(carry, step_key):
+        def step(carry, z_, log_p_diff, w):
             z, log_p, log_det = carry
-            kp, ka = jax.random.split(step_key)
-            z_, log_p_diff = self.proposal(z, kp)
             log_p_ = self.target.log_prob(z_)
-            w = jax.random.uniform(ka, (z.shape[0],), z.dtype)
             w_accept = jnp.minimum(jnp.exp(log_p_ - log_p + log_p_diff), 1.0)
             accept = w <= w_accept
             accept_b = accept.reshape(-1, *([1] * (z.ndim - 1)))
             z_new = jnp.where(accept_b, z_, z)
             log_det_new = jnp.where(accept, log_det + log_p - log_p_, log_det)
             log_p_new = jnp.where(accept, log_p_, log_p)
-            return (z_new, log_p_new, log_det_new), None
+            return (z_new, log_p_new, log_det_new)
 
-        keys = jax.random.split(key, self.steps)
-        (z, _, log_det), _ = jax.lax.scan(body, (z, log_p, log_det), keys)
+        if noise is None:
+            def body(carry, step_key):
+                kp, ka = jax.random.split(step_key)
+                z_, log_p_diff = self.proposal(carry[0], kp)
+                w = jax.random.uniform(ka, (z.shape[0],), z.dtype)
+                return step(carry, z_, log_p_diff, w), None
+
+            xs = jax.random.split(key, self.steps)
+        else:
+            def body(carry, step_noise):
+                eps, w = step_noise
+                z_, log_p_diff = self.proposal.propose_from_noise(carry[0], eps)
+                return step(carry, z_, log_p_diff, w), None
+
+            xs = (jnp.asarray(noise[0], z.dtype), jnp.asarray(noise[1], z.dtype))
+
+        (z, _, log_det), _ = jax.lax.scan(body, (z, log_p, log_det), xs)
         return z, log_det
 
-    def inverse(self, z, context=None, *, key=None):
-        return self.forward(z, context, key=key)
+    def inverse(self, z, context=None, *, key=None, noise=None):
+        return self.forward(z, context, key=key, noise=noise)
 
     def data_dep_init(self, z, context=None):
         """Identity transport: MCMC layers target their own stationary
@@ -105,10 +123,18 @@ class HamiltonianMonteCarlo(Flow):
             grad = jnp.clip(grad, -self.max_abs_grad, self.max_abs_grad)
         return grad
 
-    def forward(self, z, context=None, *, key=None):
-        key = _require_key(key, "HamiltonianMonteCarlo")
-        kp, ka = jax.random.split(key)
-        p = jax.random.normal(kp, z.shape, z.dtype) * jnp.exp(0.5 * self.log_mass)
+    def forward(self, z, context=None, *, key=None, noise=None):
+        """``noise`` (optional) replays pre-drawn randomness instead of the
+        key: a ``(p_eps, u)`` pair with momentum standard normals ``p_eps``
+        of shape ``z.shape`` and accept uniforms ``u`` of shape ``(batch,)``
+        — the reference's exact draws (stochastic.py:76,94)."""
+        if noise is None:
+            key = _require_key(key, "HamiltonianMonteCarlo")
+            kp, ka = jax.random.split(key)
+            p_eps = jax.random.normal(kp, z.shape, z.dtype)
+        else:
+            p_eps = jnp.asarray(noise[0], z.dtype)
+        p = p_eps * jnp.exp(0.5 * self.log_mass)
 
         step_size = jnp.exp(self.log_step_size)
         mass = jnp.exp(self.log_mass)
@@ -129,14 +155,17 @@ class HamiltonianMonteCarlo(Flow):
             - 0.5 * sum_except_batch(p_new**2 / mass)
             + 0.5 * sum_except_batch(p**2 / mass)
         )
-        u = jax.random.uniform(ka, (z.shape[0],), z.dtype)
+        if noise is None:
+            u = jax.random.uniform(ka, (z.shape[0],), z.dtype)
+        else:
+            u = jnp.asarray(noise[1], z.dtype)
         accept = u < jnp.exp(log_accept)
         accept_b = accept.reshape(-1, *([1] * (z.ndim - 1)))
         z_out = jnp.where(accept_b, z_new, z)
         return z_out, self.target.log_prob(z) - self.target.log_prob(z_out)
 
-    def inverse(self, z, context=None, *, key=None):
-        return self.forward(z, context, key=key)
+    def inverse(self, z, context=None, *, key=None, noise=None):
+        return self.forward(z, context, key=key, noise=noise)
 
     def data_dep_init(self, z, context=None):
         """Identity transport (see MetropolisHastings.data_dep_init)."""

@@ -1722,3 +1722,105 @@ def test_linear_interpolation_and_mh_proposal_match_reference():
     assert_close(
         our_prop.log_prob(jnp.asarray(z_), jnp.asarray(z)),
         ref_prop.log_prob(torch.tensor(z_), torch.tensor(z)), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Stochastic (MCMC) layers — injected-randomness oracles
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("steps", [1, 5])
+def test_metropolis_hastings_injected_noise_matches_reference(steps, monkeypatch):
+    """MH layer with replayed noise (stochastic.py:25-45): feed the reference
+    identical proposal normals + accept uniforms by monkeypatching torch's
+    draws, replay the same arrays through our ``noise=`` hook, and assert z'
+    and the SNF log-det proxy match exactly."""
+    from collections import deque
+
+    batch, dim, scale = 48, 2, 0.5
+    z0 = RNG.normal(size=(batch, dim)).astype(np.float32)
+    eps = RNG.normal(size=(steps, batch, dim)).astype(np.float32)
+    w = RNG.uniform(size=(steps, batch)).astype(np.float32)
+
+    randn_q = deque(torch.tensor(e) for e in eps)
+    rand_q = deque(torch.tensor(u) for u in w)
+    real_randn, real_rand = torch.randn, torch.rand
+
+    def _norm(size):
+        return tuple(size[0]) if len(size) == 1 and isinstance(size[0], (tuple, list)) else tuple(size)
+
+    def fake_randn(*size, **kw):
+        out = randn_q.popleft()
+        assert tuple(out.shape) == _norm(size), (out.shape, size)
+        return out
+
+    def fake_rand(*size, **kw):
+        out = rand_q.popleft()
+        assert tuple(out.shape) == _norm(size), (out.shape, size)
+        return out
+
+    monkeypatch.setattr(torch, "randn", fake_randn)
+    monkeypatch.setattr(torch, "rand", fake_rand)
+    try:
+        ref_mh = ref_nf.flows.MetropolisHastings(
+            ref_nf.distributions.TwoMoons(),
+            ref_nf.distributions.DiagGaussianProposal((dim,), scale),
+            steps,
+        )
+        z_ref, ld_ref = ref_mh(torch.tensor(z0))
+    finally:
+        monkeypatch.setattr(torch, "randn", real_randn)
+        monkeypatch.setattr(torch, "rand", real_rand)
+    assert not randn_q and not rand_q  # every injected draw was consumed
+
+    from normflows_tpu.distributions.mh_proposal import DiagGaussianProposal
+    from normflows_tpu.flows.stochastic import MetropolisHastings
+
+    our_mh = MetropolisHastings(
+        target=distributions.TwoMoons(),
+        proposal=DiagGaussianProposal.create(dim, scale),
+        steps=steps,
+    )
+    z_ours, ld_ours = our_mh.forward(jnp.asarray(z0), noise=(eps, w))
+    assert_close(z_ours, z_ref, atol=1e-5, msg="MH z'")
+    assert_close(ld_ours, ld_ref, atol=1e-5, msg="MH log_det proxy")
+
+    # inverse == forward in both frameworks (stochastic.py:47-49)
+    zi, ldi = our_mh.inverse(jnp.asarray(z0), noise=(eps, w))
+    assert_close(zi, z_ours, atol=0)
+    assert_close(ldi, ld_ours, atol=0)
+
+
+@pytest.mark.parametrize(
+    "steps,log_step,log_mass",
+    [
+        (1, [-2.0, -2.0], [0.0, 0.0]),
+        (4, [-1.5, -2.5], [0.3, -0.4]),  # learnable per-dim values
+    ],
+)
+def test_hmc_injected_noise_matches_reference(steps, log_step, log_mass, monkeypatch):
+    """HMC layer (stochastic.py:74-109): identical momenta + accept uniforms
+    on both sides; z' and log-det proxy must agree through the leapfrog."""
+    batch, dim = 48, 2
+    z0 = RNG.normal(size=(batch, dim)).astype(np.float32)
+    p_eps = RNG.normal(size=(batch, dim)).astype(np.float32)
+    u = RNG.uniform(size=(batch,)).astype(np.float32)
+
+    monkeypatch.setattr(torch, "randn_like", lambda x, **kw: torch.tensor(p_eps))
+    monkeypatch.setattr(torch, "rand_like", lambda x, **kw: torch.tensor(u))
+    ref_hmc = ref_nf.flows.HamiltonianMonteCarlo(
+        ref_nf.distributions.TwoMoons(),
+        steps,
+        torch.tensor(log_step),
+        torch.tensor(log_mass),
+    )
+    z_ref, ld_ref = ref_hmc(torch.tensor(z0))
+    monkeypatch.undo()
+
+    from normflows_tpu.flows.stochastic import HamiltonianMonteCarlo
+
+    our_hmc = HamiltonianMonteCarlo.create(
+        distributions.TwoMoons(), steps, log_step, log_mass
+    )
+    z_ours, ld_ours = our_hmc.forward(jnp.asarray(z0), noise=(p_eps, u))
+    assert_close(z_ours, z_ref, atol=2e-5, msg="HMC z'")
+    assert_close(ld_ours, ld_ref, atol=2e-5, msg="HMC log_det proxy")

@@ -1824,3 +1824,124 @@ def test_hmc_injected_noise_matches_reference(steps, log_step, log_mass, monkeyp
     z_ours, ld_ours = our_hmc.forward(jnp.asarray(z0), noise=(p_eps, u))
     assert_close(z_ours, z_ref, atol=2e-5, msg="HMC z'")
     assert_close(ld_ours, ld_ref, atol=2e-5, msg="HMC log_det proxy")
+
+
+# ---------------------------------------------------------------------------
+# Residual flows — deterministic oracles (weight-copied)
+# ---------------------------------------------------------------------------
+
+def _copy_lipschitz_mlp(our_net, ref_net):
+    """Copy reference LipschitzMLP weights, biases, Swish betas AND the
+    power-iteration u/v/scale buffers so both nets are the same function
+    (nets/lipschitz.py:223-270: forward uses compute_weight(update=False),
+    i.e. the stored u/v determine the spectral normalization)."""
+    copied = []
+    for ol, rl in zip(our_net.layers, ref_net.net):
+        if hasattr(ol, "beta"):  # Swish
+            copied.append(ol.replace(beta=t2j(rl.beta)))
+        else:  # InducedNormLinear
+            copied.append(ol.replace(
+                weight=t2j(rl.weight), bias=t2j(rl.bias),
+                u=t2j(rl.u), v=t2j(rl.v), scale=t2j(rl.scale),
+            ))
+    return our_net.replace(layers=tuple(copied))
+
+
+def _matched_lipschitz_pair(dims, seed=7, lipschitz_const=0.9):
+    from normflows_tpu.nets import LipschitzMLP
+
+    torch.manual_seed(seed)
+    ref_net = ref_nf.nets.LipschitzMLP(
+        dims, init_zeros=False, lipschitz_const=lipschitz_const)
+    our_net = LipschitzMLP.create(
+        jax.random.key(seed), dims, lipschitz_const=lipschitz_const,
+        init_zeros=False)
+    return _copy_lipschitz_mlp(our_net, ref_net), ref_net
+
+
+def test_lipschitz_mlp_forward_and_power_iteration_match_reference():
+    """LipschitzMLP forward parity with copied u/v state, and again after a
+    matched deterministic power-iteration refresh on both sides
+    (utils/optim.py:28-31 / nets/lipschitz.py:223-270)."""
+    from normflows_tpu.utils import update_lipschitz
+
+    our_net, ref_net = _matched_lipschitz_pair([2, 32, 32, 2])
+    x = RNG.normal(size=(16, 2)).astype(np.float32)
+    assert_close(our_net(jnp.asarray(x)), ref_net(torch.tensor(x)), atol=1e-5,
+                 msg="LipschitzMLP forward")
+
+    # Power iteration from identical u/v is deterministic: refresh both.
+    ref_nf.utils.update_lipschitz(ref_net, 10)
+    our_net2 = update_lipschitz(our_net, 10)
+    assert_close(our_net2(jnp.asarray(x)), ref_net(torch.tensor(x)), atol=1e-5,
+                 msg="LipschitzMLP forward after update_lipschitz")
+    for ol, rl in zip(our_net2.layers, ref_net.net):
+        if hasattr(ol, "scale"):
+            assert_close(ol.u, rl.u, atol=1e-5)
+            assert_close(ol.v, rl.v, atol=1e-5)
+
+
+def test_iresblock_brute_force_matches_reference():
+    """Brute-force 2-D Jacobian determinant (residual.py:148-161):
+    weight-copied iResBlock forward value + log-det, fully deterministic."""
+    from normflows_tpu.flows.residual import iResBlock
+
+    our_net, ref_net = _matched_lipschitz_pair([2, 24, 24, 2], seed=11)
+    ref_block = ref_nf.flows.residual.iResBlock(ref_net, brute_force=True)
+    our_block = iResBlock.create(our_net, brute_force=True)
+
+    x = (0.7 * RNG.normal(size=(20, 2))).astype(np.float32)
+    logp0 = np.zeros((20,), np.float32)
+    y_ref, lp_ref = ref_block(torch.tensor(x), torch.tensor(logp0).view(-1, 1))
+    y_ours, lp_ours = our_block.apply_forward(jnp.asarray(x), jnp.asarray(logp0))
+    assert_close(y_ours, y_ref, atol=1e-5, msg="iResBlock brute-force y")
+    assert_close(lp_ours, lp_ref.view(-1), atol=1e-5, msg="brute-force logp")
+
+    # Fixed-point inverse round-trips to the same point on both sides
+    # (residual.py:133-142 vs our lax.while_loop).
+    x_ref = ref_block.inverse(torch.tensor(np.asarray(y_ours)))
+    x_ours = our_block._inverse_fixed_point(y_ours)
+    assert_close(x_ours, x, atol=1e-4, msg="fixed-point inverse vs input")
+    assert_close(x_ours, x_ref, atol=1e-4, msg="fixed-point inverse vs ref")
+
+
+def test_iresblock_exact_trace_matches_reference():
+    """Exact-trace power series (residual.py:229-242) with fixed
+    n_power_series while training — deterministic on both sides."""
+    from normflows_tpu.flows.residual import iResBlock
+
+    our_net, ref_net = _matched_lipschitz_pair([3, 24, 24, 3], seed=13)
+    k = 8
+    ref_block = ref_nf.flows.residual.iResBlock(
+        ref_net, exact_trace=True, n_power_series=k)
+    our_block = iResBlock.create(our_net, exact_trace=True, n_power_series=k)
+
+    x = (0.5 * RNG.normal(size=(12, 3))).astype(np.float32)
+    logp0 = np.zeros((12,), np.float32)
+    y_ref, lp_ref = ref_block(torch.tensor(x), torch.tensor(logp0).view(-1, 1))
+    y_ours, lp_ours = our_block.apply_forward(jnp.asarray(x), jnp.asarray(logp0))
+    assert_close(y_ours, y_ref, atol=1e-5, msg="exact-trace y")
+    assert_close(lp_ours, lp_ref.view(-1), atol=1e-5, msg="exact-trace logp")
+
+
+def test_residual_wrapper_brute_force_matches_reference():
+    """Residual facade layer (residual.py:12-75, reverse=True): forward is
+    iresblock.inverse with negated log-det — check both directions."""
+    from normflows_tpu import flows as our_flows
+
+    our_net, ref_net = _matched_lipschitz_pair([2, 16, 16, 2], seed=17)
+    ref_res = ref_nf.flows.Residual(ref_net, reduce_memory=False,
+                                    brute_force=True)
+    our_res = our_flows.Residual.create(our_net, reduce_memory=False,
+                                        brute_force=True)
+
+    z = (0.6 * RNG.normal(size=(10, 2))).astype(np.float32)
+    z_ref, ld_ref = ref_res.inverse(torch.tensor(z))
+    z_ours, ld_ours = our_res.inverse(jnp.asarray(z))
+    assert_close(z_ours, z_ref, atol=1e-5, msg="Residual.inverse z")
+    assert_close(ld_ours, ld_ref, atol=1e-5, msg="Residual.inverse log_det")
+
+    zf_ref, ldf_ref = ref_res(torch.tensor(z))
+    zf_ours, ldf_ours = our_res.forward(jnp.asarray(z))
+    assert_close(zf_ours, zf_ref, atol=1e-4, msg="Residual.forward z")
+    assert_close(ldf_ours, ldf_ref, atol=1e-4, msg="Residual.forward log_det")

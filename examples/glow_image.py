@@ -132,6 +132,12 @@ def main():
     if args.chunked:
         from normflows_tpu.training import make_chunked_train_step
 
+        if args.iters < 10 or args.iters % 10:
+            raise SystemExit(
+                "--chunked runs 10 steps per dispatch: --iters must be a"
+                f" positive multiple of 10 (got {args.iters})"
+            )
+
         def chunk_loss(m, batch, k):
             xb, yb = batch
             return m.forward_kld(jitter(scale(xb), k), yb)

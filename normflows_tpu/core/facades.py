@@ -222,7 +222,7 @@ class NormalizingFlow(Module):
 
     @classmethod
     def load(cls, path: str):
-        return load_model(path)
+        return _load_as(cls, path)
 
 
 class ConditionalNormalizingFlow(NormalizingFlow):
@@ -245,6 +245,18 @@ def load_model(path: str):
     with open(path, "rb") as f:
         data = pickle.load(f)
     return jax.tree.unflatten(data["treedef"], [jnp.asarray(l) for l in data["leaves"]])
+
+
+def _load_as(cls, path: str):
+    """load_model + type check: Facade.load(path) must not silently return a
+    model of a different facade class pickled at ``path``."""
+    obj = load_model(path)
+    if not isinstance(obj, cls):
+        raise TypeError(
+            f"checkpoint at {path} contains {type(obj).__name__}, "
+            f"not {cls.__name__}"
+        )
+    return obj
 
 
 def load_params_like(model, path: str):
@@ -303,7 +315,7 @@ class ClassCondFlow(Module):
     @classmethod
     def load(cls, path: str):
         """core.py:446-452."""
-        return load_model(path)
+        return _load_as(cls, path)
 
 
 class MultiscaleFlow(Module):
@@ -464,7 +476,7 @@ class MultiscaleFlow(Module):
     @classmethod
     def load(cls, path: str):
         """core.py:626-632."""
-        return load_model(path)
+        return _load_as(cls, path)
 
 
 def _num_classes_of(q0):

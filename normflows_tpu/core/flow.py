@@ -125,6 +125,12 @@ class ScanChain(Flow):
     a leading axis.  This bounds compile time for deep stacks (K=32 RealNVP,
     K=12 NSF) — the reference's per-layer Python loop (core.py:98) becomes a
     single compiled scan body.  Build with :meth:`ScanChain.create`.
+
+    Checkpoint note: the ``remat`` static field was added after the first
+    release of this class; pickled models saved before then have a different
+    treedef and cannot be unpickled into the current class (save_model stores
+    the treedef).  Re-save such checkpoints with the old code as raw leaves
+    and rebuild via ``ScanChain.create`` — there is no silent fallback.
     """
 
     stacked: Flow  # layer pytree with leading stack axis on every leaf

@@ -90,9 +90,11 @@ def make_chunked_train_step(
     This factory instead places the ENTIRE dataset in device memory once
     (CIFAR-10 in f32 is ~614 MB — small next to 16 GB HBM) and runs
     ``chunk_len`` optimizer steps inside one ``lax.scan`` per call, with
-    per-step minibatches gathered ON DEVICE: ``shuffle=True`` draws random
-    index vectors with the step's PRNG key, ``shuffle=False`` slides a
-    sequential window.
+    per-step minibatches gathered ON DEVICE: ``shuffle=True`` draws i.i.d.
+    uniform index vectors with the step's PRNG key — sampling WITH
+    replacement, so a batch may contain duplicate rows and an "epoch" is not
+    a permutation of the dataset (the i.i.d.-SGD regime, not epoch
+    shuffling); ``shuffle=False`` slides a sequential window.
 
     ``data`` is an array or tuple of arrays with a common leading dim (e.g.
     ``(x, y)``); ``loss_fn(model, batch, key)`` receives the same structure

@@ -13,7 +13,11 @@ import types
 
 import pytest
 
-sys.path.insert(0, "/root/reference")
+# Append (not prepend) so the reference checkout cannot shadow same-named
+# modules for other tests collected in the same session; the reference's
+# `normflows` package name collides with nothing in this repo.
+if "/root/reference" not in sys.path:
+    sys.path.append("/root/reference")
 pytest.importorskip("torch")
 pytest.importorskip("normflows")
 

@@ -198,3 +198,20 @@ class TestActNormSamplingInit:
         model = model.init_actnorm_sampling(jax.random.key(1), 256)
         loss = model.reverse_kld(jax.random.key(2), 128)
         assert bool(jnp.isfinite(loss))
+
+
+def test_facade_load_rejects_wrong_class(tmp_path):
+    """Facade.load must not silently return a different pickled facade type."""
+    import pytest
+    import normflows_tpu as nf
+    from normflows_tpu import flows, distributions
+
+    model = nf.NormalizingFlow.create(
+        distributions.DiagGaussian.create(2),
+        [flows.Planar.create((2,))],
+    )
+    path = str(tmp_path / "nf.pkl")
+    model.save(path)
+    assert isinstance(nf.NormalizingFlow.load(path), nf.NormalizingFlow)
+    with pytest.raises(TypeError, match="NormalizingFlow"):
+        nf.MultiscaleFlow.load(path)

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
-sys.path.insert(0, "/root/reference")
+if "/root/reference" not in sys.path:
+    sys.path.append("/root/reference")
 ref_nf = pytest.importorskip("normflows")
 
 import normflows_tpu as nf

@@ -436,7 +436,12 @@ class GaussianMixture(BaseDistribution):
     dim: int = static_field()
 
     @classmethod
-    def create(cls, n_modes, dim, loc=None, scale=None, weights=None, key=None):
+    def create(cls, n_modes, dim, loc=None, scale=None, weights=None,
+               trainable=True, key=None):
+        # `trainable=False` is realized by freezing via an optimizer mask or
+        # lax.stop_gradient at the call site (same convention as
+        # DiagGaussian.create); parameters are identical either way.
+        del trainable
         if loc is None:
             if key is None:
                 key = jax.random.key(0)

@@ -81,6 +81,8 @@ class MaskedAffineAutoregressive(Autoregressive):
         use_residual_blocks: bool = True,
         random_mask: bool = False,
         activation: str = "relu",
+        dropout_probability: float = 0.0,
+        use_batch_norm: bool = False,
         rng_seed: int = 0,
     ):
         made = MADE.create(
@@ -93,6 +95,8 @@ class MaskedAffineAutoregressive(Autoregressive):
             use_residual_blocks=use_residual_blocks,
             random_mask=random_mask,
             activation=activation,
+            dropout_probability=dropout_probability,
+            use_batch_norm=use_batch_norm,
             rng_seed=rng_seed,
         )
         return cls(autoregressive_net=made, features=features)

@@ -49,6 +49,8 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
         random_mask: bool = False,
         permute_mask: bool = False,
         activation: str = "relu",
+        dropout_probability: float = 0.0,
+        use_batch_norm: bool = False,
         init_identity: bool = True,
         rng_seed: int = 0,
         min_bin_width=splines.DEFAULT_MIN_BIN_WIDTH,
@@ -90,6 +92,8 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
             random_mask=random_mask,
             permute_mask=permute_mask,
             activation=activation,
+            dropout_probability=dropout_probability,
+            use_batch_norm=use_batch_norm,
             preprocessing=preprocessing,
             rng_seed=rng_seed,
         )

@@ -51,6 +51,7 @@ class CoupledRationalQuadraticSpline(Flow):
         tail_bound: float = 3.0,
         activation: str = "relu",
         reverse_mask: bool = False,
+        dropout_probability: float = 0.0,
         init_identity: bool = True,
     ):
         def transform_net_create_fn(in_features, out_features):
@@ -62,6 +63,7 @@ class CoupledRationalQuadraticSpline(Flow):
                 hidden_features=num_hidden_channels,
                 num_blocks=num_blocks,
                 activation=activation,
+                dropout_probability=dropout_probability,
             )
             return _identity_init_resnet(net) if init_identity else net
 
@@ -104,6 +106,7 @@ class CircularCoupledRationalQuadraticSpline(Flow):
         activation: str = "relu",
         reverse_mask: bool = False,
         mask=None,
+        dropout_probability: float = 0.0,
         init_identity: bool = True,
     ):
         if mask is None:
@@ -137,6 +140,7 @@ class CircularCoupledRationalQuadraticSpline(Flow):
                 hidden_features=num_hidden_channels,
                 num_blocks=num_blocks,
                 activation=activation,
+                dropout_probability=dropout_probability,
                 preprocessing=pf,
             )
             return _identity_init_resnet(net) if init_identity else net
@@ -179,6 +183,7 @@ class AutoregressiveRationalQuadraticSpline(Flow):
         tail_bound: float = 3.0,
         activation: str = "relu",
         permute_mask: bool = False,
+        dropout_probability: float = 0.0,
         init_identity: bool = True,
         rng_seed: int = 0,
     ):
@@ -195,6 +200,7 @@ class AutoregressiveRationalQuadraticSpline(Flow):
             random_mask=False,
             permute_mask=permute_mask,
             activation=activation,
+            dropout_probability=dropout_probability,
             init_identity=init_identity,
             rng_seed=rng_seed,
         )
@@ -225,6 +231,7 @@ class CircularAutoregressiveRationalQuadraticSpline(Flow):
         tail_bound=3.0,
         activation: str = "relu",
         permute_mask: bool = True,
+        dropout_probability: float = 0.0,
         init_identity: bool = True,
         rng_seed: int = 0,
     ):
@@ -246,6 +253,7 @@ class CircularAutoregressiveRationalQuadraticSpline(Flow):
             random_mask=False,
             permute_mask=permute_mask,
             activation=activation,
+            dropout_probability=dropout_probability,
             init_identity=init_identity,
             rng_seed=rng_seed,
         )

@@ -43,6 +43,51 @@ def _normalize(x, eps=1e-12):
     return x / jnp.maximum(jnp.linalg.norm(x), eps)
 
 
+def _check_p2(domain, codomain):
+    if domain != 2 or codomain != 2:
+        raise NotImplementedError(
+            "Only the 2-norm domain/codomain case is implemented — the only"
+            " case the reference's public nets instantiate (see module"
+            " docstring)."
+        )
+
+
+_TOL_MAX_ITERS = 200  # reference cap when iterating to tolerance (lipschitz.py:238)
+
+
+def _power_iterate(u0, v0, fwd, bwd, n, atol, rtol):
+    """Shared power-iteration driver: fixed ``n`` steps, or — when ``n`` is
+    None — iterate to the (atol, rtol) tolerance with a ``lax.while_loop``
+    capped at 200 steps (reference compute_weight, lipschitz.py:223-258)."""
+    def step(u, v):
+        u = _normalize(fwd(v))
+        v = _normalize(bwd(u))
+        return u, v
+
+    if n is not None:
+        return jax.lax.fori_loop(0, n, lambda _, uv: step(*uv), (u0, v0))
+
+    if atol is None or rtol is None:
+        raise ValueError("Need one of n_iterations or (atol, rtol).")
+
+    def cond(state):
+        i, _, _, done = state
+        return (i < _TOL_MAX_ITERS) & ~done
+
+    def body(state):
+        i, u, v, _ = state
+        new_u, new_v = step(u, v)
+        err_u = jnp.linalg.norm(new_u - u) / np.sqrt(u.size)
+        err_v = jnp.linalg.norm(new_v - v) / np.sqrt(v.size)
+        done = (err_u < atol + rtol * jnp.max(new_u)) & (
+            err_v < atol + rtol * jnp.max(new_v))
+        return i + 1, new_u, new_v, done
+
+    _, u, v, _ = jax.lax.while_loop(
+        cond, body, (0, u0, v0, jnp.asarray(False)))
+    return u, v
+
+
 class InducedNormLinear(Module):
     """Spectral-norm-constrained linear layer (lipschitz.py:132-292), p=2."""
 
@@ -52,11 +97,15 @@ class InducedNormLinear(Module):
     v: jnp.ndarray = buffer_field()
     scale: jnp.ndarray = buffer_field()
     coeff: float = static_field(default=0.97)
-    n_iterations: int = static_field(default=5)
+    n_iterations: Optional[int] = static_field(default=5)
+    atol: Optional[float] = static_field(default=None)
+    rtol: Optional[float] = static_field(default=None)
 
     @classmethod
     def create(cls, key, in_features, out_features, bias=True, coeff=0.97,
-               n_iterations=5, zero_init=False):
+               n_iterations=5, zero_init=False, domain=2, codomain=2,
+               atol=None, rtol=None):
+        _check_p2(domain, codomain)
         kw, ku, kv = jax.random.split(key, 3)
         if zero_init:
             w = 1e-5 * jax.random.normal(kw, (out_features, in_features))
@@ -70,22 +119,22 @@ class InducedNormLinear(Module):
         v = _normalize(jax.random.normal(kv, (in_features,)))
         self_ = cls(
             weight=w, bias=b, u=u, v=v, scale=jnp.zeros(()), coeff=coeff,
-            n_iterations=n_iterations,
+            n_iterations=n_iterations, atol=atol, rtol=rtol,
         )
         return self_.update_power_iteration(n_iterations=50)
 
     def update_power_iteration(self, n_iterations=None) -> "InducedNormLinear":
-        """Run power iteration; returns updated module (lipschitz.py:223-270)."""
+        """Run power iteration; returns updated module (lipschitz.py:223-270).
+
+        With ``n_iterations`` (explicit or from construction) runs that many
+        steps; when both are None, iterates to the layer's (atol, rtol)
+        tolerance, capped at 200 steps like the reference."""
         n = self.n_iterations if n_iterations is None else n_iterations
         w = jax.lax.stop_gradient(self.weight)
-
-        def body(_, uv):
-            u, v = uv
-            u = _normalize(w @ v)
-            v = _normalize(w.T @ u)
-            return u, v
-
-        u, v = jax.lax.fori_loop(0, n, body, (self.u, self.v))
+        u, v = _power_iterate(
+            self.u, self.v, lambda v: w @ v, lambda u: w.T @ u, n,
+            self.atol, self.rtol,
+        )
         sigma = u @ (w @ v)
         return self.replace(u=u, v=v, scale=sigma)
 
@@ -117,11 +166,27 @@ class InducedNormConv2d(Module):
     out_shape: tuple = static_field()
     padding: int = static_field(default=1)
     coeff: float = static_field(default=0.97)
-    n_iterations: int = static_field(default=5)
+    n_iterations: Optional[int] = static_field(default=5)
+    atol: Optional[float] = static_field(default=None)
+    rtol: Optional[float] = static_field(default=None)
 
     @classmethod
     def create(cls, key, in_channels, out_channels, kernel_size, spatial_dims,
-               bias=True, coeff=0.97, n_iterations=5, zero_init=False):
+               bias=True, coeff=0.97, n_iterations=5, zero_init=False,
+               stride=1, padding=None, domain=2, codomain=2,
+               atol=None, rtol=None):
+        _check_p2(domain, codomain)
+        if stride != 1:
+            raise NotImplementedError(
+                "stride != 1 is not supported; the reference's LipschitzCNN"
+                " (the only consumer, lipschitz.py:107-121) always uses"
+                " stride=1."
+            )
+        if padding is not None and padding != kernel_size // 2:
+            raise NotImplementedError(
+                "only 'same' padding (kernel_size // 2) is supported, matching"
+                " the reference's LipschitzCNN construction."
+            )
         kw, ku, kv = jax.random.split(key, 3)
         k = kernel_size
         h, w_ = spatial_dims
@@ -139,6 +204,7 @@ class InducedNormConv2d(Module):
             weight=w, bias=b, u=u, v=v, scale=jnp.zeros(()),
             in_shape=(in_channels, h, w_), out_shape=(out_channels, h, w_),
             padding=k // 2, coeff=coeff, n_iterations=n_iterations,
+            atol=atol, rtol=rtol,
         )
         return self_.update_power_iteration(n_iterations=50)
 
@@ -156,16 +222,12 @@ class InducedNormConv2d(Module):
     def update_power_iteration(self, n_iterations=None) -> "InducedNormConv2d":
         n = self.n_iterations if n_iterations is None else n_iterations
         w = jax.lax.stop_gradient(self.weight)
-
-        def body(_, uv):
-            u, v = uv
-            u_map = self._conv(v.reshape(self.in_shape), w)
-            u = _normalize(u_map.reshape(-1))
-            v_map = self._conv_t(u.reshape(self.out_shape), w)
-            v = _normalize(v_map.reshape(-1))
-            return u, v
-
-        u, v = jax.lax.fori_loop(0, n, body, (self.u, self.v))
+        u, v = _power_iterate(
+            self.u, self.v,
+            lambda v: self._conv(v.reshape(self.in_shape), w).reshape(-1),
+            lambda u: self._conv_t(u.reshape(self.out_shape), w).reshape(-1),
+            n, self.atol, self.rtol,
+        )
         sigma = u @ self._conv(v.reshape(self.in_shape), w).reshape(-1)
         return self.replace(u=u, v=v, scale=sigma)
 
@@ -194,7 +256,9 @@ class LipschitzMLP(Module):
 
     @classmethod
     def create(cls, key, channels, lipschitz_const=0.97, max_lipschitz_iter=5,
-               init_zeros=True):
+               lipschitz_tolerance=None, init_zeros=True):
+        """``max_lipschitz_iter=None`` + ``lipschitz_tolerance`` switches the
+        layers to tolerance-based power iteration (lipschitz.py:21-35)."""
         n_layers = len(channels) - 1
         keys = jax.random.split(key, n_layers)
         layers = []
@@ -204,6 +268,7 @@ class LipschitzMLP(Module):
                 InducedNormLinear.create(
                     keys[i], channels[i], channels[i + 1], coeff=lipschitz_const,
                     n_iterations=max_lipschitz_iter,
+                    atol=lipschitz_tolerance, rtol=lipschitz_tolerance,
                     zero_init=init_zeros and i == n_layers - 1,
                 )
             )
@@ -222,7 +287,9 @@ class LipschitzCNN(Module):
 
     @classmethod
     def create(cls, key, channels, kernel_size, spatial_dims, lipschitz_const=0.97,
-               max_lipschitz_iter=5, init_zeros=True):
+               max_lipschitz_iter=5, lipschitz_tolerance=None, init_zeros=True):
+        """``max_lipschitz_iter=None`` + ``lipschitz_tolerance`` switches the
+        layers to tolerance-based power iteration (lipschitz.py:76-90)."""
         n_layers = len(kernel_size)
         keys = jax.random.split(key, n_layers)
         layers = []
@@ -233,6 +300,7 @@ class LipschitzCNN(Module):
                     keys[i], channels[i], channels[i + 1], kernel_size[i],
                     spatial_dims, coeff=lipschitz_const,
                     n_iterations=max_lipschitz_iter,
+                    atol=lipschitz_tolerance, rtol=lipschitz_tolerance,
                     zero_init=init_zeros and i == n_layers - 1,
                 )
             )

@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.module import Module, static_field, buffer_field
+from .resnet import _dropout, _check_no_batch_norm
 from .mlp import Linear
 
 
@@ -122,22 +123,25 @@ class MaskedFeedforwardBlock(Module):
 
     linear: MaskedLinear
     activation: str = static_field(default="relu")
+    dropout_probability: float = static_field(default=0.0)
 
     @classmethod
     def create(cls, key, in_degrees, autoregressive_features, random_mask=False,
-               activation="relu", rng_seed: int = 0):
+               activation="relu", dropout_probability=0.0, rng_seed: int = 0):
         linear = MaskedLinear.create(
             key, in_degrees, len(in_degrees), autoregressive_features,
             random_mask=random_mask, is_output=False, rng_seed=rng_seed,
         )
-        return cls(linear=linear, activation=activation)
+        return cls(linear=linear, activation=activation,
+                   dropout_probability=dropout_probability)
 
     @property
     def degrees(self):
         return self.linear.degrees
 
-    def __call__(self, x, context=None):
-        return _act(self.activation, self.linear(x))
+    def __call__(self, x, context=None, *, key=None, train=False):
+        return _dropout(_act(self.activation, self.linear(x)),
+                        self.dropout_probability, key, train)
 
 
 class MaskedResidualBlock(Module):
@@ -147,10 +151,12 @@ class MaskedResidualBlock(Module):
     linear_1: MaskedLinear
     context_layer: Optional[Linear]
     activation: str = static_field(default="relu")
+    dropout_probability: float = static_field(default=0.0)
 
     @classmethod
     def create(cls, key, in_degrees, autoregressive_features, context_features=None,
-               activation="relu", zero_initialization=True):
+               activation="relu", dropout_probability=0.0,
+               zero_initialization=True):
         k0, k1, kc, kz = jax.random.split(key, 4)
         linear_0 = MaskedLinear.create(
             k0, in_degrees, len(in_degrees), autoregressive_features, is_output=False
@@ -177,17 +183,18 @@ class MaskedResidualBlock(Module):
         )
         return cls(
             linear_0=linear_0, linear_1=linear_1, context_layer=ctx,
-            activation=activation,
+            activation=activation, dropout_probability=dropout_probability,
         )
 
     @property
     def degrees(self):
         return self.linear_1.degrees
 
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, *, key=None, train=False):
         temps = _act(self.activation, x)
         temps = self.linear_0(temps)
         temps = _act(self.activation, temps)
+        temps = _dropout(temps, self.dropout_probability, key, train)
         temps = self.linear_1(temps)
         if context is not None and self.context_layer is not None:
             # torch F.glu(cat(a, b)) = a * sigmoid(b)
@@ -219,9 +226,12 @@ class MADE(Module):
         random_mask: bool = False,
         permute_mask: bool = False,
         activation: str = "relu",
+        dropout_probability: float = 0.0,
+        use_batch_norm: bool = False,
         preprocessing=None,
         rng_seed: int = 0,
     ):
+        _check_no_batch_norm(use_batch_norm)
         if use_residual_blocks and random_mask:
             raise ValueError("Residual blocks can't be used with random masks.")
         keys = jax.random.split(key, num_blocks + 3)
@@ -244,12 +254,13 @@ class MADE(Module):
             if use_residual_blocks:
                 block = MaskedResidualBlock.create(
                     keys[2 + i], prev, features, context_features=context_features,
-                    activation=activation,
+                    activation=activation, dropout_probability=dropout_probability,
                 )
             else:
                 block = MaskedFeedforwardBlock.create(
                     keys[2 + i], prev, features, random_mask=random_mask,
-                    activation=activation, rng_seed=rng_seed + i + 1,
+                    activation=activation, dropout_probability=dropout_probability,
+                    rng_seed=rng_seed + i + 1,
                 )
             prev = block.linear.np_degrees() if not use_residual_blocks else (
                 block.linear_1.np_degrees()
@@ -268,17 +279,19 @@ class MADE(Module):
             hidden_features=hidden_features,
         )
 
-    def __call__(self, x, context=None):
+    def __call__(self, x, context=None, *, key=None, train=False):
         out = self.preprocessing(x) if self.preprocessing is not None else x
         from ..ops import backend, made_pallas
 
-        if backend.made_fusion_enabled() and made_pallas.fusable(self, out, context):
+        if key is None and backend.made_fusion_enabled() and made_pallas.fusable(self, out, context):
             # fused Pallas path: whole masked MLP in one kernel, hidden
             # activations stay in VMEM (see ops/made_pallas.py)
             return made_pallas.made_apply_fused(self, out).astype(x.dtype)
         out = self.initial_layer(out)
         if context is not None and self.context_layer is not None:
             out = out + self.context_layer(context).astype(out.dtype)
-        for block in self.blocks:
-            out = block(out, context)
+        keys = (jax.random.split(key, len(self.blocks))
+                if key is not None else [None] * len(self.blocks))
+        for block, k in zip(self.blocks, keys):
+            out = block(out, context, key=k, train=train)
         return self.final_layer(out).astype(x.dtype)

@@ -63,9 +63,23 @@ class MLP(Module):
     dropout_rate: Optional[float] = static_field(default=None)
 
     @classmethod
-    def create(cls, key, layer_sizes, leaky=0.0, score_scale=None, output_fn=None,
-               output_scale=None, init_zeros=False, dropout_rate=None,
-               compute_dtype=None):
+    def create(cls, key, layer_sizes=None, leaky=0.0, score_scale=None,
+               output_fn=None, output_scale=None, init_zeros=False,
+               dropout_rate=None, compute_dtype=None, layers=None,
+               dropout=None):
+        """``layers`` and ``dropout`` are accepted as aliases for
+        ``layer_sizes`` / ``dropout_rate`` so reference call sites
+        (nets/mlp.py:5-58) port verbatim."""
+        if layers is not None:
+            if layer_sizes is not None:
+                raise TypeError("pass either layer_sizes or layers, not both")
+            layer_sizes = layers
+        if layer_sizes is None:
+            raise TypeError("layer_sizes (or layers) is required")
+        if dropout is not None:
+            if dropout_rate is not None:
+                raise TypeError("pass either dropout_rate or dropout, not both")
+            dropout_rate = dropout
         n = len(layer_sizes) - 1
         keys = jax.random.split(key, n)
         linears = []

@@ -49,3 +49,87 @@ def test_every_reference_export_exists(rname, oname):
     }
     missing = sorted(n for n in public if not hasattr(ours, n))
     assert not missing, f"{oname} is missing reference exports: {missing}"
+
+
+# ---------------------------------------------------------------------------
+# Signature-level compatibility
+# ---------------------------------------------------------------------------
+
+import inspect
+
+
+def _ctor_params(cls):
+    """Parameter names a class's constructor accepts.  For our Modules the
+    constructor surface is the `create` classmethod when present (the
+    documented build path), else the dataclass __init__."""
+    fn = getattr(cls, "create", None)
+    if fn is None or not callable(fn):
+        fn = cls.__init__
+    sig = inspect.signature(fn)
+    names = set()
+    has_var_kw = False
+    for p in sig.parameters.values():
+        if p.name in ("self", "cls"):
+            continue
+        if p.kind is inspect.Parameter.VAR_KEYWORD:
+            has_var_kw = True
+        elif p.kind is not inspect.Parameter.VAR_POSITIONAL:
+            names.add(p.name)
+    return names, has_var_kw
+
+
+# Documented deviations: {class name: {ref param: reason}} — each entry is a
+# deliberate TPU-first API change, not an accidental omission.
+SIGNATURE_WAIVERS = {
+    # The reference's distributions/__init__.py re-exports BOTH base.Uniform
+    # (shape, low, high) and encoder.Uniform (zmin, zmax) under the same
+    # name; import order makes the VAE-encoder variant win.  We export the
+    # base distribution (the far more used one) and keep the encoder variant
+    # at normflows_tpu.distributions.encoder.Uniform.
+    "Uniform": {"zmin": "encoder-variant shadowing", "zmax": "encoder-variant shadowing"},
+}
+
+
+def _collect_class_pairs():
+    out = []
+    for rname, oname in PAIRS:
+        ref = importlib.import_module(rname)
+        ours = importlib.import_module(oname)
+        for n in dir(ref):
+            if n.startswith("_"):
+                continue
+            rcls = getattr(ref, n)
+            if not inspect.isclass(rcls) or not hasattr(ours, n):
+                continue
+            ocls = getattr(ours, n)
+            if not inspect.isclass(ocls):
+                continue
+            out.append(pytest.param(rcls, ocls, id=f"{rname}.{n}"))
+    return out
+
+
+@pytest.mark.parametrize("rcls,ocls", _collect_class_pairs())
+def test_constructor_signature_compat(rcls, ocls):
+    """Every kwarg the reference constructor accepts must be accepted by our
+    constructor under the same name (so reference call sites port verbatim),
+    modulo the documented waiver list.  Extra parameters on our side (e.g.
+    explicit `key`) are always allowed."""
+    try:
+        ref_sig = inspect.signature(rcls.__init__)
+    except (ValueError, TypeError):
+        pytest.skip("reference constructor has no inspectable signature")
+    ref_params = [
+        p.name for p in ref_sig.parameters.values()
+        if p.name != "self" and p.kind not in (
+            inspect.Parameter.VAR_POSITIONAL, inspect.Parameter.VAR_KEYWORD)
+    ]
+    our_params, has_var_kw = _ctor_params(ocls)
+    if has_var_kw:
+        return
+    waived = SIGNATURE_WAIVERS.get(rcls.__name__, {})
+    missing = [p for p in ref_params if p not in our_params and p not in waived]
+    assert not missing, (
+        f"{ocls.__module__}.{ocls.__name__} constructor does not accept "
+        f"reference parameters {missing} (ref: {sorted(ref_params)}; "
+        f"ours: {sorted(our_params)})"
+    )

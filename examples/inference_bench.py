@@ -116,15 +116,73 @@ def glow_cases(tiny):
     return [("glow_sample", sample_fn, n), ("glow_log_prob", logprob_fn, n)]
 
 
+def exported_flagship_cases(tiny):
+    """Time the LOADED StableHLO bundle, not the live model: export the
+    flagship sampler/log_prob (serving.save_bundle), deserialize from disk,
+    and run the artifact's `.call` under the same scan harness.  This is the
+    measured live-vs-exported comparison docs/serving.md cites (an Exported
+    call is traceable, so it scans like any jitted fn)."""
+    import tempfile
+
+    from normflows_tpu import serving
+
+    # identical model construction to flagship_cases
+    cases = flagship_cases(tiny)
+    n = cases[0][2]
+    import bench
+    from normflows_tpu import flows, distributions
+
+    if tiny:
+        base = distributions.UniformGaussian.create(
+            2, [1], jnp.array([1.0, 2 * np.pi]))
+        layers = [
+            flows.CircularAutoregressiveRationalQuadraticSpline.create(
+                jax.random.key(i), 2, 1, 64, ind_circ=[1], num_bins=10,
+                tail_bound=jnp.array([5.0, np.pi]), permute_mask=True,
+                rng_seed=i)
+            for i in range(2)
+        ]
+        model = nf.NormalizingFlow.create(
+            base, layers, p=distributions.GaussianVonMises())
+    else:
+        model = bench.build_model()
+    model = nf.utils.set_compute_dtype(model, "bfloat16")
+
+    path = tempfile.mkdtemp(prefix="nf_bundle_")
+    serving.save_bundle(model, path, num_samples=n, event_shape=(2,))
+    bundle = serving.load_bundle(path)
+
+    def sample_fn(state, key):
+        seed = jax.random.randint(key, (), 0, 2**31 - 1).astype(jnp.uint32)
+        z, log_q = bundle._sample.call(seed)
+        return state, jnp.sum(z.astype(jnp.float32)) + jnp.sum(log_q)
+
+    x, _ = model.sample(jax.random.key(1), n)
+    x = jax.lax.stop_gradient(jnp.asarray(x, jnp.float32))
+
+    def logprob_fn(state, key):
+        x_k = x + 1e-6 * jax.random.uniform(key, ())
+        return state, jnp.sum(bundle._log_prob.call(x_k))
+
+    return [("nsf_sample_exported", sample_fn, n),
+            ("nsf_log_prob_exported", logprob_fn, n)]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--exported", action="store_true",
+                    help="also time the loaded StableHLO bundle endpoints "
+                         "(live-vs-exported comparison for docs/serving.md)")
     args = ap.parse_args()
     enable_compilation_cache()
     dev = jax.devices()[0]
 
-    for name, fn, items in flagship_cases(args.tiny) + glow_cases(args.tiny):
+    cases = flagship_cases(args.tiny) + glow_cases(args.tiny)
+    if args.exported:
+        cases += exported_flagship_cases(args.tiny)
+    for name, fn, items in cases:
         dt = _timed_chunk(fn, jnp.zeros(()), args.iters)
         print(json.dumps({
             "case": name,

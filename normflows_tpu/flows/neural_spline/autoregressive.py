@@ -164,6 +164,57 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
             )
         return outputs, sum_except_batch(logabsdet)
 
+    # ---- transposed (planar) fast path -----------------------------------
+    def _transposed_ok(self, inputs, context):
+        """Gate for the zero-relayout pipeline: transposed MADE
+        (nets/made.py apply_t) feeding the planar spline kernel
+        (ops/spline_pallas.py rqs_transposed_pallas).  Eliminates the
+        (B*F, S) <-> (S, B*F) relayouts around every spline call — measured
+        ~5.7 ms of the 10.3 ms flagship step (docs/performance.md)."""
+        return (
+            backend.use_pallas()
+            and not self.constrained
+            and context is None
+            and inputs.ndim == 2
+            and inputs.dtype == jnp.float32
+            and inputs.shape[0] >= 1024
+            and hasattr(self.autoregressive_net, "supports_t")
+            and self.autoregressive_net.supports_t()
+        )
+
+    def _spline_t(self, x_t, params_t, inverse):
+        from ...ops.spline_pallas import rqs_transposed_pallas
+
+        return rqs_transposed_pallas(
+            x_t, params_t.astype(x_t.dtype), self.tail_codes, self.tail_bound,
+            inverse, self.min_bin_width, self.min_bin_height,
+            self.min_derivative, backend.pallas_interpret(),
+        )
+
+    def forward(self, inputs, context=None, *, key=None):
+        if not self._transposed_ok(inputs, context):
+            return super().forward(inputs, context, key=key)
+        x_t = inputs.T
+        params_t = self.autoregressive_net.apply_t(x_t)
+        y_t, ld_t = self._spline_t(x_t, params_t, inverse=False)
+        return y_t.T, jnp.sum(ld_t, axis=0)
+
+    def inverse(self, inputs, context=None, *, key=None):
+        if not self._transposed_ok(inputs, context):
+            return super().inverse(inputs, context, key=key)
+        x_t = inputs.T
+        F, B = x_t.shape
+        # pass 1 via the batch-1 trick (see Autoregressive.inverse): the
+        # degree-1 slots of MADE(0) are batch-constant, so one column
+        # broadcast over the batch is exact, gradients included
+        p1 = self.autoregressive_net.apply_t(jnp.zeros((F, 1), x_t.dtype))
+        params_t = jnp.broadcast_to(p1, (p1.shape[0], B))
+        out_t, ld_t = self._spline_t(x_t, params_t, inverse=True)
+        for _ in range(1, F):
+            params_t = self.autoregressive_net.apply_t(out_t)
+            out_t, ld_t = self._spline_t(x_t, params_t, inverse=True)
+        return out_t.T, jnp.sum(ld_t, axis=0)
+
     def _elementwise_forward(self, inputs, params):
         return self._elementwise(inputs, params, inverse=False)
 

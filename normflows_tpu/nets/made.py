@@ -104,6 +104,25 @@ class MaskedLinear(Module):
             y = y + self.bias
         return y
 
+    def apply_t(self, x_t):
+        """Transposed-layout forward: (in, B) -> (out, B).
+
+        Same function as ``__call__`` on ``x_t.T`` but with zero layout
+        changes — the batch stays on the minor (lane) axis end to end, which
+        is what the planar spline kernel consumes (see
+        ops/spline_pallas.py transposed path)."""
+        w = (self.weight * self.mask).T  # (out, in)
+        if self.compute_dtype is not None:
+            dt = jnp.dtype(self.compute_dtype)
+            y = jnp.dot(w.astype(dt), x_t.astype(dt))
+            if self.bias is not None:
+                y = y + self.bias.astype(dt)[:, None]
+            return y
+        y = w @ x_t
+        if self.bias is not None:
+            y = y + self.bias[:, None]
+        return y
+
     def with_compute_dtype(self, dtype):
         return self.replace(compute_dtype=dtype)
 
@@ -142,6 +161,9 @@ class MaskedFeedforwardBlock(Module):
     def __call__(self, x, context=None, *, key=None, train=False):
         return _dropout(_act(self.activation, self.linear(x)),
                         self.dropout_probability, key, train)
+
+    def apply_t(self, x_t):
+        return _act(self.activation, self.linear.apply_t(x_t))
 
 
 class MaskedResidualBlock(Module):
@@ -201,6 +223,14 @@ class MaskedResidualBlock(Module):
             gate = jax.nn.sigmoid(self.context_layer(context))
             temps = temps * gate.astype(temps.dtype)
         return x + temps
+
+    def apply_t(self, x_t):
+        """Transposed residual block (context-free; callers gate on that)."""
+        temps = _act(self.activation, x_t)
+        temps = self.linear_0.apply_t(temps)
+        temps = _act(self.activation, temps)
+        temps = self.linear_1.apply_t(temps)
+        return x_t + temps
 
 
 class MADE(Module):
@@ -295,3 +325,25 @@ class MADE(Module):
         for block, k in zip(self.blocks, keys):
             out = block(out, context, key=k, train=train)
         return self.final_layer(out).astype(x.dtype)
+
+    def supports_t(self) -> bool:
+        """Whether the transposed fast path applies (context-free, blocks
+        with apply_t, preprocessing transposable)."""
+        if self.context_layer is not None:
+            return False
+        if self.preprocessing is not None and not hasattr(
+                self.preprocessing, "apply_t"):
+            return False
+        return all(hasattr(b, "apply_t") for b in self.blocks)
+
+    def apply_t(self, x_t):
+        """Transposed-layout forward: (F, B) -> (P, B), batch on the minor
+        axis throughout — zero relayouts between the MADE matmuls and the
+        planar spline kernel (the (B, S) <-> (S, B) transposes this avoids
+        measured ~30 us each at flagship shapes; see docs/performance.md)."""
+        out = (self.preprocessing.apply_t(x_t)
+               if self.preprocessing is not None else x_t)
+        out = self.initial_layer.apply_t(out)
+        for block in self.blocks:
+            out = block.apply_t(out)
+        return self.final_layer.apply_t(out).astype(x_t.dtype)

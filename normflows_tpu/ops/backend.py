@@ -24,6 +24,19 @@ def get_kernel_backend() -> str:
     return _BACKEND
 
 
+_INTERPRET = False
+
+
+def set_pallas_interpret(enabled: bool):
+    """Run Pallas kernels in interpret mode (CPU testing of TPU-only paths)."""
+    global _INTERPRET
+    _INTERPRET = bool(enabled)
+
+
+def pallas_interpret() -> bool:
+    return _INTERPRET
+
+
 def use_pallas() -> bool:
     if _BACKEND == "pallas":
         return True

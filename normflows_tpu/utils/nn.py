@@ -107,6 +107,18 @@ class PeriodicFeaturesElementwise(Module):
         out = jnp.concatenate([feat, x[..., self.rest_ind]], axis=-1)
         return out[..., self.inv_perm]
 
+    def apply_t(self, x_t):
+        """Transposed layout: features on axis 0, batch on axis -1."""
+        f = x_t[self.ind, :] * self.scale[:, None]
+        feat = (self.weights[:, :1] * jnp.sin(f)
+                + self.weights[:, 1:2] * jnp.cos(f))
+        if self.bias is not None:
+            feat = feat + self.bias[:, None]
+        if self.activation == "tanh":
+            feat = jnp.tanh(feat)
+        out = jnp.concatenate([feat, x_t[self.rest_ind, :]], axis=0)
+        return out[self.inv_perm, :]
+
 
 class PeriodicFeaturesCat(Module):
     """Concatenate sin/cos of periodic dims instead of replacing (nn.py:146-178)."""

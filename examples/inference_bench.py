@@ -116,12 +116,28 @@ def glow_cases(tiny):
     return [("glow_sample", sample_fn, n), ("glow_log_prob", logprob_fn, n)]
 
 
+def _timed_percall(fn, iters, warmup=3):
+    """Per-dispatch timing (async queue, scalar-forced at the end).
+
+    Exported artifacts cannot use the scanned harness: inlining the ~52 MB
+    deserialized module into a scan body degrades it ~30x (measured), so
+    artifact endpoints are timed per-call — and the LIVE model must then be
+    timed the same way for a fair comparison (sample has ~7 ms/call fixed
+    overhead under the tunnel in this harness; log_prob does not)."""
+    for s in range(warmup):
+        out = fn(s)
+    float(jnp.sum(jax.tree.leaves(out)[-1]))
+    t0 = time.perf_counter()
+    for s in range(iters):
+        out = fn(s)
+    float(jnp.sum(jax.tree.leaves(out)[-1]))
+    return (time.perf_counter() - t0) / iters
+
+
 def exported_flagship_cases(tiny):
-    """Time the LOADED StableHLO bundle, not the live model: export the
-    flagship sampler/log_prob (serving.save_bundle), deserialize from disk,
-    and run the artifact's `.call` under the same scan harness.  This is the
-    measured live-vs-exported comparison docs/serving.md cites (an Exported
-    call is traceable, so it scans like any jitted fn)."""
+    """Time the LOADED StableHLO bundle against the live model under the
+    identical per-call harness (the measured live-vs-exported comparison
+    docs/serving.md cites)."""
     import tempfile
 
     from normflows_tpu import serving
@@ -149,23 +165,36 @@ def exported_flagship_cases(tiny):
     model = nf.utils.set_compute_dtype(model, "bfloat16")
 
     path = tempfile.mkdtemp(prefix="nf_bundle_")
-    serving.save_bundle(model, path, num_samples=n, event_shape=(2,))
+    serving.save_bundle(model, path, num_samples=n, event_shape=(2,),
+                        symbolic_batch=False, batch_size=n)
     bundle = serving.load_bundle(path)
-
-    def sample_fn(state, key):
-        seed = jax.random.randint(key, (), 0, 2**31 - 1).astype(jnp.uint32)
-        z, log_q = bundle._sample.call(seed)
-        return state, jnp.sum(z.astype(jnp.float32)) + jnp.sum(log_q)
+    path_sym = tempfile.mkdtemp(prefix="nf_bundle_sym_")
+    serving.save_bundle(model, path_sym, num_samples=n, event_shape=(2,))
+    bundle_sym = serving.load_bundle(path_sym)
 
     x, _ = model.sample(jax.random.key(1), n)
     x = jax.lax.stop_gradient(jnp.asarray(x, jnp.float32))
 
-    def logprob_fn(state, key):
-        x_k = x + 1e-6 * jax.random.uniform(key, ())
-        return state, jnp.sum(bundle._log_prob.call(x_k))
+    live_sample = jax.jit(
+        lambda s: model.sample_and_log_prob(jax.random.key(s), n))
+    live_lp = jax.jit(lambda v: model.log_prob(x * (1 + 1e-6 * v)))
+    exp_sample = jax.jit(lambda s: bundle._sample.call(s.astype(jnp.uint32)))
+    exp_lp = jax.jit(lambda v: bundle._log_prob.call(x * (1 + 1e-6 * v)))
+    exp_lp_sym = jax.jit(
+        lambda v: bundle_sym._log_prob.call(x * (1 + 1e-6 * v)))
 
-    return [("nsf_sample_exported", sample_fn, n),
-            ("nsf_log_prob_exported", logprob_fn, n)]
+    def arg(s):
+        return jnp.uint32(s)
+
+    return [
+        ("nsf_sample_live_percall", lambda s: live_sample(arg(s)), n),
+        ("nsf_sample_exported", lambda s: exp_sample(arg(s)), n),
+        ("nsf_log_prob_live_percall", lambda s: live_lp(jnp.float32(s)), n),
+        ("nsf_log_prob_exported_concrete",
+         lambda s: exp_lp(jnp.float32(s)), n),
+        ("nsf_log_prob_exported_symbolic",
+         lambda s: exp_lp_sym(jnp.float32(s)), n),
+    ]
 
 
 def main():
@@ -179,11 +208,16 @@ def main():
     enable_compilation_cache()
     dev = jax.devices()[0]
 
-    cases = flagship_cases(args.tiny) + glow_cases(args.tiny)
+    cases = [(n, f, i, "scan") for n, f, i in
+             flagship_cases(args.tiny) + glow_cases(args.tiny)]
     if args.exported:
-        cases += exported_flagship_cases(args.tiny)
-    for name, fn, items in cases:
-        dt = _timed_chunk(fn, jnp.zeros(()), args.iters)
+        cases += [(n, f, i, "percall") for n, f, i in
+                  exported_flagship_cases(args.tiny)]
+    for name, fn, items, harness in cases:
+        if harness == "percall":
+            dt = _timed_percall(fn, max(args.iters, 30))
+        else:
+            dt = _timed_chunk(fn, jnp.zeros(()), args.iters)
         print(json.dumps({
             "case": name,
             "device": dev.device_kind,

@@ -143,7 +143,8 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
                 min_bin_width=self.min_bin_width,
                 min_bin_height=self.min_bin_height,
             )
-        elif backend.use_pallas() and inputs.dtype == jnp.float32:
+        elif (backend.use_pallas() and inputs.dtype == jnp.float32
+              and isinstance(inputs.shape[0], int)):  # symbolic batch -> jnp
             from ...ops.spline_pallas import (
                 unconstrained_rational_quadratic_spline_pallas,
             )
@@ -177,6 +178,9 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
             and context is None
             and inputs.ndim == 2
             and inputs.dtype == jnp.float32
+            # symbolic batch dims (jax.export shape polymorphism) take the
+            # general path — the kernel needs a concrete grid
+            and isinstance(inputs.shape[0], int)
             and inputs.shape[0] >= 1024
             and hasattr(self.autoregressive_net, "supports_t")
             and self.autoregressive_net.supports_t()

@@ -84,13 +84,21 @@ def export_log_prob(
     platforms: Optional[Sequence[str]] = None,
     symbolic_batch: bool = True,
     class_cond: bool = False,
+    batch_size: Optional[int] = None,
 ):
     """Export ``x -> log_prob(x)`` (or ``(x, y) ->`` when class-cond) with a
-    symbolic batch dimension shared by ``x`` and ``y``."""
+    symbolic batch dimension shared by ``x`` and ``y``.
+
+    ``symbolic_batch=False`` + ``batch_size`` exports a CONCRETE-batch
+    artifact.  For the AR spline models this matters on TPU: concrete
+    shapes take the fused Pallas spline path inside the exported program,
+    symbolic ones fall back to the jnp path (~26x slower at flagship
+    shapes; measured in docs/serving.md) — the flexibility tax of a
+    shape-polymorphic artifact."""
     if symbolic_batch:
         (b,) = jax_export.symbolic_shape("b")
     else:
-        b = 1
+        b = batch_size if batch_size is not None else 1
     x_spec = jax.ShapeDtypeStruct((b, *event_shape), jnp.float32)
     if class_cond:
         y_spec = jax.ShapeDtypeStruct((b,), jnp.int32)
@@ -109,13 +117,15 @@ def save_bundle(
     platforms: Optional[Sequence[str]] = None,
     symbolic_batch: bool = True,
     class_cond: bool = False,
+    batch_size: Optional[int] = None,
 ):
     """Write a serving bundle: ``sample.bin``, ``log_prob.bin``,
-    ``manifest.json`` under ``path``."""
+    ``manifest.json`` under ``path``.  See :func:`export_log_prob` for the
+    ``symbolic_batch`` / ``batch_size`` performance trade-off."""
     os.makedirs(path, exist_ok=True)
     smp = export_sampler(model, num_samples, platforms, class_cond=class_cond)
     lp = export_log_prob(model, event_shape, platforms, symbolic_batch,
-                         class_cond=class_cond)
+                         class_cond=class_cond, batch_size=batch_size)
     with open(os.path.join(path, "sample.bin"), "wb") as f:
         f.write(smp.serialize())
     with open(os.path.join(path, "log_prob.bin"), "wb") as f:

@@ -198,7 +198,8 @@ class PiecewiseRationalQuadraticCoupling(Coupling):
                 min_bin_width=self.min_bin_width,
                 min_bin_height=self.min_bin_height,
             )
-        elif backend.use_pallas() and inputs.dtype == jnp.float32:
+        elif (backend.use_pallas() and inputs.dtype == jnp.float32
+              and isinstance(inputs.shape[0], int)):  # symbolic -> jnp
             from ...ops.spline_pallas import (
                 unconstrained_rational_quadratic_spline_pallas,
             )
@@ -309,7 +310,8 @@ class PiecewiseRationalQuadraticCDF(Flow):
                 min_bin_width=self.min_bin_width,
                 min_bin_height=self.min_bin_height,
             )
-        elif backend.use_pallas() and inputs.dtype == jnp.float32:
+        elif (backend.use_pallas() and inputs.dtype == jnp.float32
+              and isinstance(inputs.shape[0], int)):  # symbolic -> jnp
             from ...ops.spline_pallas import (
                 unconstrained_rational_quadratic_spline_pallas,
             )

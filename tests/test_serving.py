@@ -159,3 +159,42 @@ def test_class_cond_bundle_y_validation(tmp_path):
     b2 = serving.load_bundle(p2)
     with pytest.raises(ValueError, match="unconditional"):
         b2.log_prob(jnp.zeros((2, 2)), jnp.array([0, 1]))
+
+
+def test_symbolic_batch_export_with_pallas_backend_enabled():
+    """On TPU the Pallas kernel gates must route symbolic (jax.export) batch
+    dims to the jnp path instead of crashing on an inconclusive shape
+    comparison — regression for the --exported bench failure.  Simulated on
+    CPU by forcing the pallas backend (the gates run before any kernel is
+    built, so no interpret mode is needed for the symbolic trace)."""
+    import tempfile
+
+    import numpy as np
+    import normflows_tpu as nf
+    from normflows_tpu import flows, distributions, serving
+    from normflows_tpu.ops import backend
+
+    base = distributions.UniformGaussian.create(
+        2, [1], jnp.array([1.0, 2 * np.pi]))
+    layers = [
+        flows.CircularAutoregressiveRationalQuadraticSpline.create(
+            jax.random.key(i), 2, 1, 32, ind_circ=[1], num_bins=6,
+            tail_bound=jnp.array([5.0, np.pi]), permute_mask=True, rng_seed=i)
+        for i in range(2)
+    ]
+    model = nf.NormalizingFlow.create(base, layers)
+    backend.set_kernel_backend("pallas")
+    try:
+        exp = serving.export_log_prob(model, (2,), symbolic_batch=True)
+    finally:
+        backend.set_kernel_backend("auto")
+    x = jax.random.normal(jax.random.key(1), (5, 2))
+    ref = model.log_prob(x)
+    np.testing.assert_allclose(np.asarray(exp.call(x)), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+    # concrete-batch export keeps working and matches too
+    exp_c = serving.export_log_prob(model, (2,), symbolic_batch=False,
+                                    batch_size=5)
+    np.testing.assert_allclose(np.asarray(exp_c.call(x)), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

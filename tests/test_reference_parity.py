@@ -1946,3 +1946,51 @@ def test_residual_wrapper_brute_force_matches_reference():
     zf_ours, ldf_ours = our_res.forward(jnp.asarray(z))
     assert_close(zf_ours, zf_ref, atol=1e-4, msg="Residual.forward z")
     assert_close(ldf_ours, ldf_ref, atol=1e-4, msg="Residual.forward log_det")
+
+
+def test_transposed_pipeline_matches_reference_directly():
+    """The TPU fast path (transposed MADE + planar spline kernel,
+    docs/performance.md round-4 harvest) oracled DIRECTLY against the
+    reference torch layer — not just transitively via the jnp path.  Runs
+    the Pallas kernels in interpret mode; batch >= 1024 engages the gate."""
+    from normflows_tpu.ops import backend
+
+    D, K, hidden, blocks = 2, 10, 64, 1
+    torch.manual_seed(3)
+    ref = ref_nf.flows.CircularAutoregressiveRationalQuadraticSpline(
+        D, blocks, hidden, ind_circ=[1], num_bins=K,
+        tail_bound=torch.tensor([5.0, np.pi]), permute_mask=True,
+        init_identity=False,
+    )
+    ours = flows.CircularAutoregressiveRationalQuadraticSpline.create(
+        jax.random.key(0), D, blocks, hidden, ind_circ=[1], num_bins=K,
+        tail_bound=jnp.array([5.0, np.pi]), permute_mask=True,
+        init_identity=False,
+    )
+    ours = ours.replace(
+        mprqat=ours.mprqat.replace(
+            autoregressive_net=copy_made(
+                ours.mprqat.autoregressive_net, ref.mprqat.autoregressive_net,
+                D, K, "list",
+            )
+        )
+    )
+    z = np.stack(
+        [RNG.uniform(-4.5, 4.5, size=1024), RNG.uniform(-3.0, 3.0, size=1024)],
+        axis=1,
+    ).astype(np.float32)
+
+    backend.set_kernel_backend("pallas")
+    backend.set_pallas_interpret(True)
+    try:
+        assert ours.mprqat._transposed_ok(jnp.asarray(z), None)
+        for direction in ("forward", "inverse"):
+            z_ref, ld_ref = getattr(ref, direction)(torch.tensor(z))
+            z_ours, ld_ours = getattr(ours, direction)(jnp.asarray(z))
+            assert_close(z_ours, z_ref, atol=5e-5, rtol=5e-5,
+                         msg=f"transposed {direction} z")
+            assert_close(ld_ours, ld_ref, atol=5e-4, rtol=5e-4,
+                         msg=f"transposed {direction} log_det")
+    finally:
+        backend.set_kernel_backend("auto")
+        backend.set_pallas_interpret(False)

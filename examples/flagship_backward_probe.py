@@ -18,6 +18,14 @@ This script pins the remainder:
 
 Same scan-chunked RTT-cancelled methodology as flagship_decomposition.py.
 
+NOTE (post round-4): the identity_spline and first_pass_full probes
+monkeypatch the GENERAL-path methods (MP._elementwise /
+Autoregressive.inverse); the transposed fast path added in round 4
+overrides forward/inverse in the NSF subclass and does not call either, so
+on TPU those two probes now measure the unmodified chain (they were
+decisive for the round-4 diagnosis when the general path was live — see
+docs/performance.md).
+
 Run:  env PYTHONPATH="/root/.axon_site:/root/repo" python examples/flagship_backward_probe.py
 """
 

@@ -85,7 +85,16 @@ def main():
                     help="device-resident data + 10 steps per dispatch "
                          "(training.make_chunked_train_step) — removes the "
                          "per-step host->device batch transfer")
+    ap.add_argument("--large-batch-recipe", action="store_true",
+                    help="the quality-validated large-batch operating point "
+                         "(QUALITY.md): implies --batch 512 --bf16 and a "
+                         "warmup-cosine LR schedule peaking at 6e-3 — beats "
+                         "the batch-128 constant-LR recipe at equal images "
+                         "seen on this hardware")
     args = ap.parse_args()
+    if args.large_batch_recipe:
+        args.batch = 512
+        args.bf16 = True
 
     if args.data_npz:
         data = np.load(args.data_npz)
@@ -109,7 +118,13 @@ def main():
     )
 
     # adamax + decoupled weight decay (reference uses Adamax lr 1e-3 wd 1e-5)
-    opt = optax.chain(optax.add_decayed_weights(1e-5), optax.adamax(args.lr))
+    if args.large_batch_recipe:
+        warmup = min(50, max(1, args.iters // 10))
+        lr = optax.warmup_cosine_decay_schedule(
+            0.0, 6e-3, warmup, args.iters, end_value=6e-3 * 0.05)
+    else:
+        lr = args.lr
+    opt = optax.chain(optax.add_decayed_weights(1e-5), optax.adamax(lr))
     diff, rest = nf.partition(model)
     opt_state = opt.init(diff)
 

@@ -347,3 +347,11 @@ class TestTransposedSplinePipeline:
         inner = self._layer()
         x = jax.random.normal(jax.random.key(1), (64, 2))
         assert not inner._transposed_ok(x, None)  # below the 1024 gate
+
+    def test_context_input_falls_back(self):
+        """A conditional call must route to the general path even with the
+        pallas backend forced — the transposed pipeline is context-free."""
+        inner = self._layer()
+        x = jax.random.normal(jax.random.key(1), (2048, 2))
+        ctx = jax.random.normal(jax.random.key(2), (2048, 3))
+        assert not inner._transposed_ok(x, ctx)

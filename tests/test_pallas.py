@@ -355,3 +355,24 @@ class TestTransposedSplinePipeline:
         x = jax.random.normal(jax.random.key(1), (2048, 2))
         ctx = jax.random.normal(jax.random.key(2), (2048, 3))
         assert not inner._transposed_ok(x, ctx)
+
+    def test_three_feature_transposed_inverse_matches(self):
+        """D=3 engages the multi-pass loop after the batch-1 first pass
+        (for _ in range(1, F)) — validate both directions vs the jnp path."""
+        from normflows_tpu import flows
+
+        inner = flows.CircularAutoregressiveRationalQuadraticSpline.create(
+            jax.random.key(5), 3, 1, 64, ind_circ=[2], num_bins=8,
+            tail_bound=jnp.array([4.0, 4.0, np.pi]), permute_mask=True,
+            rng_seed=5,
+        ).mprqat
+        x = jax.random.normal(jax.random.key(1), (1024, 3)) * 2.0
+        for direction in ("forward", "inverse"):
+            y_ref, ld_ref = self._with_backend(
+                "xla", False, lambda: getattr(inner, direction)(x))
+            y_t, ld_t = self._with_backend(
+                "pallas", True, lambda: getattr(inner, direction)(x))
+            assert_close(y_t, y_ref, atol=5e-5, rtol=5e-5,
+                         msg=f"D=3 {direction}")
+            assert_close(ld_t, ld_ref, atol=5e-4, rtol=5e-4,
+                         msg=f"D=3 {direction} ld")

@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--k", type=int, default=16)
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--chunk", type=int, default=1,
+                    help=">1: run that many steps per dispatch with the "
+                         "device-resident chunked trainer — the per-step "
+                         "device time is ~0.8 ms, so per-iteration dispatch "
+                         "(tunnel RTT ~25 ms here) dominates wall time "
+                         "otherwise")
     args = ap.parse_args()
 
     layers = []
@@ -76,15 +82,34 @@ def main():
     key = jax.random.key(0)
     t0 = time.time()
     n = x_all.shape[0]
-    for i in range(args.iters):
-        s = (i * args.batch) % (n - args.batch)
-        key, sub = jax.random.split(key)
-        diff, rest, opt_state, loss = step(
-            diff, rest, opt_state, x_all[s : s + args.batch], sub
+    if args.chunk > 1:
+        from normflows_tpu.training import make_chunked_train_step
+
+        state, chunk = make_chunked_train_step(
+            nf.combine(diff, rest), opt,
+            lambda m, xb, k: m.forward_kld(xb, key=k),
+            x_all, batch_size=args.batch, chunk_len=args.chunk,
+            shuffle=False, update_lipschitz_iters=50,
         )
-        if i % 500 == 0 or i == args.iters - 1:
-            print(f"iter {i:5d}  forward KLD {float(loss):.4f}")
-    print(f"training wall time: {time.time() - t0:.1f}s")
+        for c in range(args.iters // args.chunk):
+            key, sub = jax.random.split(key)
+            state, metrics = chunk(state, sub)
+            i = (c + 1) * args.chunk - 1
+            if (c * args.chunk) % 500 < args.chunk or c == args.iters // args.chunk - 1:
+                print(f"iter {i:5d}  forward KLD {float(metrics['loss'][-1]):.4f}")
+        diff, rest = state.diff, state.rest
+    else:
+        for i in range(args.iters):
+            s = (i * args.batch) % (n - args.batch)
+            key, sub = jax.random.split(key)
+            diff, rest, opt_state, loss = step(
+                diff, rest, opt_state, x_all[s : s + args.batch], sub
+            )
+            if i % 500 == 0 or i == args.iters - 1:
+                print(f"iter {i:5d}  forward KLD {float(loss):.4f}")
+    wall = time.time() - t0
+    print(f"training wall time: {wall:.1f}s "
+          f"({args.iters * args.batch / wall:,.0f} samples/s)")
 
     model = nf.combine(diff, rest).replace(
         flows=tuple(

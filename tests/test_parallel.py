@@ -248,3 +248,44 @@ class TestReplicatePlacementSafety:
         # and a second factory over the SAME model still works
         parallel.make_data_parallel_step(
             model, optax.adam(1e-3), lambda m, b, key: m.forward_kld(b), mesh)
+
+
+def test_pallas_spline_path_partitions_without_allgather():
+    """The AR fast path's kernels must partition over the batch axis under
+    SPMD (jax>=0.9 pallas_call auto-shard_map) instead of forcing a
+    replicating all-gather — the latent pod-scaling cliff this guards.
+    Checked on the virtual mesh in interpret mode: sharded execution matches
+    the unsharded result and the compiled SPMD program contains no
+    all-gather.  Alignment matters: the batch must fold into kernel grid
+    blocks that divide evenly across shards (per-device batch a multiple of
+    the kernel block, as in every shipped config — docs/scaling.md); the
+    misaligned case degrades to gathers in the emulation."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from normflows_tpu import flows
+    from normflows_tpu.ops import backend
+
+    layer = flows.CircularAutoregressiveRationalQuadraticSpline.create(
+        jax.random.key(3), 2, 1, 32, ind_circ=[1], num_bins=6,
+        tail_bound=jnp.array([5.0, np.pi]), permute_mask=True, rng_seed=3)
+    x = jax.random.normal(jax.random.key(1), (8192, 2))
+
+    backend.set_kernel_backend("pallas")
+    backend.set_pallas_interpret(True)
+    try:
+        assert layer.mprqat._transposed_ok(x, None)
+        mesh = Mesh(np.array(jax.devices()).reshape(-1), ("data",))
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        f = jax.jit(lambda z: layer.forward(z))
+        z_sh, ld_sh = f(xs)
+        compiled = f.lower(xs).compile().as_text()
+        assert "all-gather" not in compiled
+        z_ref, ld_ref = layer.forward(x)
+    finally:
+        backend.set_kernel_backend("auto")
+        backend.set_pallas_interpret(False)
+    np.testing.assert_allclose(np.asarray(z_sh), np.asarray(z_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ld_sh), np.asarray(ld_ref),
+                               atol=1e-4, rtol=1e-4)

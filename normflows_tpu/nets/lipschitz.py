@@ -2,12 +2,15 @@
 (reference: normflows/nets/lipschitz.py, from rtqichen/residual-flows).
 
 TPU-first re-design notes:
-  * Only the 2-norm domain/codomain case is implemented — it is the only case
-    the reference's public nets (`LipschitzMLP`/`LipschitzCNN`, lipschitz.py:
-    14-129) instantiate.  Power iteration is a pure function returning an
-    updated module (u/v/scale are buffers), mirroring the reference's
-    train-loop `update_lipschitz` (utils/optim.py:28-31) rather than hidden
-    in-forward mutation.
+  * `InducedNormLinear` supports any fixed induced (domain, codomain) norm
+    order — p=2 via L2 power iteration, p=1 / inf via projmax, general p via
+    the dual-norm maximizer steps (lipschitz.py:659-689); only the
+    reference's LEARNABLE-ord mode is out of scope (its public nets never
+    instantiate it).  The conv variant stays p=2 — the only case
+    `LipschitzCNN` (lipschitz.py:69-129) constructs.  Power iteration is a
+    pure function returning an updated module (u/v/scale are buffers),
+    mirroring the reference's train-loop `update_lipschitz`
+    (utils/optim.py:28-31) rather than hidden in-forward mutation.
   * The conv power iteration runs through `lax.conv` / `conv_transpose`
     (lipschitz.py:553-610); spatial dims are fixed at construction instead of
     lazily on first forward (lipschitz.py:612-616) — static shapes for XLA.
@@ -44,24 +47,73 @@ def _normalize(x, eps=1e-12):
 
 
 def _check_p2(domain, codomain):
-    if domain != 2 or codomain != 2:
-        raise NotImplementedError(
-            "Only the 2-norm domain/codomain case is implemented — the only"
-            " case the reference's public nets instantiate (see module"
-            " docstring)."
-        )
+    """Validate induced-norm orders: fixed p in [1, inf] both sides.
+
+    The reference additionally supports LEARNABLE orders (a tensor wrapped
+    in asym_squash, lipschitz.py:206-213) — its public nets never
+    instantiate that, and a trainable norm order has no pytree slot here,
+    so learnable ords remain out of scope (documented deviation)."""
+    for p in (domain, codomain):
+        if not isinstance(p, (int, float)) or not (1 <= p):
+            raise NotImplementedError(
+                f"induced-norm order must be a fixed float >= 1, got {p!r}"
+                " (the reference's learnable-ord mode is out of scope)"
+            )
+
+
+def _projmax(x):
+    """Argmax one-hot times sign (reference projmax_, lipschitz.py:651-657)."""
+    idx = jnp.argmax(jnp.abs(x))
+    return jnp.zeros_like(x).at[idx].set(jnp.sign(x[idx]))
+
+
+def _pnorm(x, p):
+    return jnp.sum(jnp.abs(x) ** p) ** (1.0 / p)
+
+
+def _normalize_v(v, domain, eps=1e-12):
+    """Dual-norm maximizer step for the input side (lipschitz.py:659-671)."""
+    if domain == 2:
+        return _normalize(v, eps)
+    if domain == 1:
+        return _projmax(v)
+    vabs = jnp.abs(v)
+    vph = jnp.where(vabs == 0, 1.0, jnp.sign(v))
+    vabs = vabs / jnp.maximum(jnp.max(vabs), eps)
+    vabs = vabs ** (1.0 / (domain - 1))
+    return vph * vabs / jnp.maximum(_pnorm(vabs, domain), eps)
+
+
+def _normalize_u(u, codomain, eps=1e-12):
+    """Dual-norm maximizer step for the output side (lipschitz.py:674-689)."""
+    if codomain == 2:
+        return _normalize(u, eps)
+    if codomain == float("inf"):
+        return _projmax(u)
+    uabs = jnp.abs(u)
+    uph = jnp.where(uabs == 0, 1.0, jnp.sign(u))
+    uabs = uabs / jnp.maximum(jnp.max(uabs), eps)
+    uabs = uabs ** (codomain - 1)
+    if codomain == 1:
+        return uph * uabs / jnp.maximum(jnp.max(uabs), eps)
+    q = codomain / (codomain - 1.0)
+    return uph * uabs / jnp.maximum(_pnorm(uabs, q), eps)
 
 
 _TOL_MAX_ITERS = 200  # reference cap when iterating to tolerance (lipschitz.py:238)
 
 
-def _power_iterate(u0, v0, fwd, bwd, n, atol, rtol):
+def _power_iterate(u0, v0, fwd, bwd, n, atol, rtol, nu=None, nv=None):
     """Shared power-iteration driver: fixed ``n`` steps, or — when ``n`` is
     None — iterate to the (atol, rtol) tolerance with a ``lax.while_loop``
-    capped at 200 steps (reference compute_weight, lipschitz.py:223-258)."""
+    capped at 200 steps (reference compute_weight, lipschitz.py:223-258).
+    ``nu``/``nv`` override the u/v normalizers for non-2 induced norms."""
+    nu = _normalize if nu is None else nu
+    nv = _normalize if nv is None else nv
+
     def step(u, v):
-        u = _normalize(fwd(v))
-        v = _normalize(bwd(u))
+        u = nu(fwd(v))
+        v = nv(bwd(u))
         return u, v
 
     if n is not None:
@@ -100,6 +152,8 @@ class InducedNormLinear(Module):
     n_iterations: Optional[int] = static_field(default=5)
     atol: Optional[float] = static_field(default=None)
     rtol: Optional[float] = static_field(default=None)
+    domain: float = static_field(default=2.0)
+    codomain: float = static_field(default=2.0)
 
     @classmethod
     def create(cls, key, in_features, out_features, bias=True, coeff=0.97,
@@ -120,6 +174,7 @@ class InducedNormLinear(Module):
         self_ = cls(
             weight=w, bias=b, u=u, v=v, scale=jnp.zeros(()), coeff=coeff,
             n_iterations=n_iterations, atol=atol, rtol=rtol,
+            domain=float(domain), codomain=float(codomain),
         )
         return self_.update_power_iteration(n_iterations=50)
 
@@ -134,6 +189,8 @@ class InducedNormLinear(Module):
         u, v = _power_iterate(
             self.u, self.v, lambda v: w @ v, lambda u: w.T @ u, n,
             self.atol, self.rtol,
+            nu=lambda x: _normalize_u(x, self.codomain),
+            nv=lambda x: _normalize_v(x, self.domain),
         )
         sigma = u @ (w @ v)
         return self.replace(u=u, v=v, scale=sigma)
@@ -175,7 +232,12 @@ class InducedNormConv2d(Module):
                bias=True, coeff=0.97, n_iterations=5, zero_init=False,
                stride=1, padding=None, domain=2, codomain=2,
                atol=None, rtol=None):
-        _check_p2(domain, codomain)
+        if domain != 2 or codomain != 2:
+            raise NotImplementedError(
+                "InducedNormConv2d supports only the 2-norm domain/codomain"
+                " (the only case the reference's LipschitzCNN instantiates);"
+                " general fixed-p is available on InducedNormLinear."
+            )
         if stride != 1:
             raise NotImplementedError(
                 "stride != 1 is not supported; the reference's LipschitzCNN"

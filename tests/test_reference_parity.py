@@ -1994,3 +1994,35 @@ def test_transposed_pipeline_matches_reference_directly():
     finally:
         backend.set_kernel_backend("auto")
         backend.set_pallas_interpret(False)
+
+
+@pytest.mark.parametrize("domain,codomain", [(1, 2), (2, float("inf")),
+                                             (1.5, 2.5)])
+def test_induced_norm_general_p_matches_reference(domain, codomain):
+    """General fixed-p induced norms (lipschitz.py:659-689): copied
+    weight/u/v state, matched power-iteration refresh on both sides, forward
+    parity.  (p=2 is covered by the LipschitzMLP oracle above.)"""
+    torch.manual_seed(23)
+    ref_lin = ref_nf.nets.lipschitz.InducedNormLinear(
+        6, 5, coeff=0.9, domain=domain, codomain=codomain, n_iterations=5)
+    from normflows_tpu.nets.lipschitz import InducedNormLinear
+
+    our_lin = InducedNormLinear.create(
+        jax.random.key(0), 6, 5, coeff=0.9, domain=domain, codomain=codomain,
+        n_iterations=5)
+    our_lin = our_lin.replace(
+        weight=t2j(ref_lin.weight), bias=t2j(ref_lin.bias),
+        u=t2j(ref_lin.u), v=t2j(ref_lin.v), scale=t2j(ref_lin.scale))
+
+    x = RNG.normal(size=(7, 6)).astype(np.float32)
+    assert_close(our_lin(jnp.asarray(x)),
+                 ref_lin(torch.tensor(x)), atol=1e-5,
+                 msg=f"forward p=({domain},{codomain})")
+
+    # deterministic refresh from identical u/v
+    ref_lin.compute_weight(update=True, n_iterations=8)
+    ours2 = our_lin.update_power_iteration(n_iterations=8)
+    assert_close(ours2.u, ref_lin.u, atol=1e-4)
+    assert_close(ours2.v, ref_lin.v, atol=1e-4)
+    assert_close(ours2(jnp.asarray(x)), ref_lin(torch.tensor(x)), atol=1e-5,
+                 msg=f"forward after refresh p=({domain},{codomain})")

@@ -37,6 +37,9 @@ def main(argv=None):
     ap.add_argument("--num-samples", type=int, default=1)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--data-npz", type=str, default=None)
+    ap.add_argument("--chunk", type=int, default=1,
+                    help=">1: steps per dispatch via the device-resident "
+                         "chunked trainer (removes per-step dispatch latency)")
     args = ap.parse_args(argv)
 
     if args.data_npz:

@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--num-samples", type=int, default=1)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--data-npz", type=str, default=None)
+    ap.add_argument("--chunk", type=int, default=1,
+                    help=">1: steps per dispatch via the device-resident "
+                         "chunked trainer (removes per-step dispatch latency)")
     args = ap.parse_args()
 
     if args.data_npz:
@@ -78,16 +81,34 @@ def main():
     n = x_all.shape[0]
     steps_per_epoch = n // args.batch
     t0 = time.time()
-    for epoch in range(args.epochs):
-        perm = jax.random.permutation(jax.random.fold_in(key, epoch), n)
-        x_shuf = x_all[perm]
-        total = 0.0
-        for i in range(steps_per_epoch):
-            xb = x_shuf[i * args.batch : (i + 1) * args.batch]
-            key, sub = jax.random.split(key)
-            diff, opt_state, loss = step(diff, opt_state, xb, sub)
-            total += float(loss)
-        print(f"epoch {epoch:3d}  -ELBO {total / steps_per_epoch:.3f}")
+    if args.chunk > 1:
+        from normflows_tpu.training import make_chunked_train_step
+
+        state, chunk = make_chunked_train_step(
+            vae, opt,
+            lambda m, xb, k: -jnp.mean(
+                (lambda zq: zq[2] - zq[1])(m(k, xb, args.num_samples))),
+            x_all, batch_size=args.batch, chunk_len=args.chunk, shuffle=True,
+        )
+        for epoch in range(args.epochs):
+            losses = []
+            for _ in range(steps_per_epoch // args.chunk):
+                key, sub = jax.random.split(key)
+                state, metrics = chunk(state, sub)
+                losses.append(float(jnp.mean(metrics["loss"])))
+            print(f"epoch {epoch:3d}  -ELBO {np.mean(losses):.3f}")
+        diff, rest = state.diff, state.rest
+    else:
+        for epoch in range(args.epochs):
+            perm = jax.random.permutation(jax.random.fold_in(key, epoch), n)
+            x_shuf = x_all[perm]
+            total = 0.0
+            for i in range(steps_per_epoch):
+                xb = x_shuf[i * args.batch : (i + 1) * args.batch]
+                key, sub = jax.random.split(key)
+                diff, opt_state, loss = step(diff, opt_state, xb, sub)
+                total += float(loss)
+            print(f"epoch {epoch:3d}  -ELBO {total / steps_per_epoch:.3f}")
     print(f"training wall time: {time.time() - t0:.1f}s")
 
 

@@ -254,21 +254,14 @@ def main():
 
     def spline_grad_body(c):
         prm, z = c
-
-        def f(p):
-            out, ld = layer0._elementwise(z, p, inverse=True)
-            s = jnp.float32(0)
-            for _ in range(12):
-                s = s + jnp.mean(ld) + jnp.mean(out)
-            return s
-
         # grads wrt the param tensor (stand-in for the MADE-output cotangent
-        # chain: 12 layers' elementwise backward)
+        # chain).  NOTE: this is ONE elementwise backward scaled by 12 — a
+        # single-call cost proxy, not 12 distinct calls (the in-situ story is
+        # the identity-swap ablation in flagship_backward_probe.py); both
+        # output and log-det cotangents are exercised.
         g = jax.grad(
-            lambda p: sum(
-                jnp.mean(layer0._elementwise(z, p, inverse=True)[1])
-                for _ in range(1)
-            ) * 12
+            lambda p: 12.0 * sum(
+                jnp.mean(t) for t in layer0._elementwise(z, p, inverse=True))
         )(prm)
         return prm + 1e-30 * g, z
 

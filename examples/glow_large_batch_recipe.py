@@ -75,7 +75,7 @@ def run_config(name, x_all, y_all, L, K, hidden, batch, iters, base_lr,
         xb, yb = data
         return m.forward_kld(jitter(scale(xb), k), yb)
 
-    n_train = x_all.shape[0]
+    n_train = x_all.shape[0] - 1024  # last 1024 rows are the eval-only slice
     state, chunk = make_chunked_train_step(
         model, opt, loss_fn, (x_all[:n_train], y_all[:n_train]),
         batch_size=batch, chunk_len=chunk_len, shuffle=False,
@@ -115,7 +115,7 @@ def main():
     enable_compilation_cache()
 
     if args.tiny:
-        L, K, hidden, n_data = 2, 2, 32, 2048
+        L, K, hidden, n_data = 2, 2, 32, 2048 + 1024
         shape = (3, 8, 8)
         images = 4000
         big, small = 64, 16
@@ -139,6 +139,12 @@ def main():
         ("linear_cos_b512", big, images // big, 1e-3 * scale_f, "warmup_cosine", 50),
         # sqrt scaling (adaptive-optimizer heuristic)
         ("sqrt_b512", big, images // big, 1e-3 * scale_f ** 0.5, "warmup_const", 50),
+        # linear + cosine with longer warmup
+        ("linear_cos_w100_b512", big, images // big, 1e-3 * scale_f,
+         "warmup_cosine", 100),
+        # 1.5x-linear + cosine — the shipped recipe (QUALITY.md)
+        ("linear15_cos_b512", big, images // big, 1.5e-3 * scale_f,
+         "warmup_cosine", 50),
     ]
     if args.only:
         keep = set(args.only.split(","))

@@ -1,20 +1,36 @@
-"""Throwaway ablation: which part of the spline backward kernel costs?
+"""Spline backward kernel ablation (round-4 diagnosis, kept reproducible).
 
-Builds stripped variants of the backward pallas_call at flagship shapes:
-  sel_only    selection recompute (collect=True) + dummy outputs
-  sel_post    + jax.vjp of the post-selection math
-  full        the real _spline_block_bwd
-  full_xg     full math but only xg written (output-write cost test)
+Historical context: the ORIGINAL backward kernel (in-kernel jax.vjp of the
+whole block) measured 0.19 ms at flagship shapes; ablations here showed the
+selection sweep and post-math vjp were free and the cost sat in the
+gradient scatter under Mosaic register pressure, which led to the
+hand-written `_bwd_scatter` (now ~0.008 ms — the `full` variant below
+measures the current kernel).  Variants:
+
+  sel_only   selection recompute (collect=True) + passthrough outputs
+  sel_post   + jax.vjp of the post-selection math
+  full       the shipped _bwd_scatter kernel
+  vjp_all    jax.vjp of the whole (current) _spline_block inside the kernel
+
+All four now measure ~0.01 ms: the decisive change was restructuring the
+block into a lean selection sweep + small post function with per-plane ref
+stores — once that landed, even whole-block vjp compiles well.  The
+original 0.19 ms baseline was the PRE-refactor monolithic block (with the
+softmax-probability/below-mask lists captured as vjp residuals inside the
+K-loop), preserved in git history at the parent of commit e03810e; this
+script reproduces the shipped kernel's ~0.01 ms and the ablation
+structure, not the deleted slow baseline.
+
+Run:  env PYTHONPATH="/root/.axon_site:/root/repo:/root/repo/examples" \
+          python examples/spline_bwd_ablate.py
 """
 
 import json
-import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 import functools
 
 from normflows_tpu.ops import splines as ref
@@ -37,42 +53,46 @@ def variant_kernel(mode):
         codes, bound = code_ref[:], bound_ref[:]
         ybar, lbar = ybar_ref[:], lbar_ref[:]
         if mode == "sel_only":
-            out = sp._selection(x, uw, uh, ud, codes, bound, collect=True, **cfg)
-            xs, inside, is_circ, is_lin, sel, (hits, belows, pw, ph) = out
-            acc = xs
+            xs, inside, is_circ, is_lin, sel, hits, stats = sp._selection(
+                x, uw, uh, ud, codes, bound, collect=True, **cfg)
+            acc = xs + sum(sel) + sum(stats)
             for h in hits:
                 acc = acc + h.astype(x.dtype)
-            xg_ref[:] = acc + sum(sel) + pw[0] + ph[0]
+            xg_ref[:] = acc
             uwg_ref[:] = uw
             uhg_ref[:] = uh
             udg_ref[:] = ud
         elif mode == "sel_post":
-            out = sp._selection(x, uw, uh, ud, codes, bound, collect=True, **cfg)
-            xs, inside, is_circ, is_lin, sel, (hits, belows, pw, ph) = out
+            xs, inside, is_circ, is_lin, sel, hits, stats = sp._selection(
+                x, uw, uh, ud, codes, bound, collect=True, **cfg)
             _, vjp_fn = jax.vjp(
                 lambda xs_, cw, w, ch, h, dk, dk1: sp._post_math(
                     xs_, cw, w, ch, h, dk, dk1, inverse=True), xs, *sel)
-            dxs, dcw, dw, dch, dh, ddk, ddk1 = vjp_fn((ybar, lbar))
-            acc = dxs + dcw + dw + dch + dh + ddk + ddk1
+            grads = vjp_fn((ybar, lbar))
+            acc = sum(grads)
             for h in hits:
                 acc = acc + h.astype(x.dtype)
-            xg_ref[:] = acc + pw[0] + ph[0]
+            xg_ref[:] = acc
             uwg_ref[:] = uw
             uhg_ref[:] = uh
             udg_ref[:] = ud
-        else:  # full / full_xg
-            xg, uwg, uhg, udg = sp._spline_block_bwd(
-                x, uw, uh, ud, codes, bound, ybar, lbar, **cfg)
-            if mode == "full_xg":
-                xg_ref[:] = xg + uwg[0] + uhg[0] + udg[0]
-                uwg_ref[:] = uw
-                uhg_ref[:] = uh
-                udg_ref[:] = ud
-            else:
-                xg_ref[:] = xg
-                uwg_ref[:] = uwg
-                uhg_ref[:] = uhg
-                udg_ref[:] = udg
+        elif mode == "vjp_all":  # the original slow design, for comparison
+            def f(x_, uw_, uh_, ud_):
+                return sp._spline_block(x_, uw_, uh_, ud_, codes, bound, **cfg)
+
+            _, vjp_fn = jax.vjp(f, x, [uw[k] for k in range(K)],
+                                [uh[k] for k in range(K)],
+                                [ud[k] for k in range(K + 1)])
+            xg, uwg, uhg, udg = vjp_fn((ybar, lbar))
+            xg_ref[:] = xg
+            uwg_ref[:] = jnp.stack(uwg)
+            uhg_ref[:] = jnp.stack(uhg)
+            udg_ref[:] = jnp.stack(udg)
+        else:  # full — the shipped hand-written scatter
+            sp._bwd_scatter(
+                x, [uw[k] for k in range(K)], [uh[k] for k in range(K)],
+                [ud[k] for k in range(K + 1)], codes, bound, ybar, lbar,
+                xg_ref, uwg_ref, uhg_ref, udg_ref, **cfg)
     return kern
 
 
@@ -88,8 +108,7 @@ def run_variant(mode, sub=64):
     ud = jax.random.normal(jax.random.key(3), (K + 1, rows, sp.LANE)) * 0.1
     codes = jnp.full((rows, sp.LANE), ref.TAIL_CIRCULAR, jnp.int32)
     bound = jnp.full((rows, sp.LANE), np.pi, jnp.float32)
-    ybar = jnp.ones((rows, sp.LANE))
-    lbar = jnp.ones((rows, sp.LANE))
+    ones = jnp.ones((rows, sp.LANE))
 
     call = pl.pallas_call(
         variant_kernel(mode),
@@ -107,8 +126,8 @@ def run_variant(mode, sub=64):
 
     def body(c):
         xx, acc = c
-        xg, uwg, uhg, udg = call(xx, uw, uh, ud, codes, bound, ybar, lbar)
-        return xx + 1e-30 * xg, acc + jnp.sum(xg[0, :1])
+        xg, uwg, uhg, udg = call(xx, uw, uh, ud, codes, bound, ones, ones)
+        return xx + 1e-30 * xg, acc + jnp.sum(xg[0, :1]) + jnp.sum(uwg[0, 0, :1])
 
     t = scan_time(body, (x, jnp.float32(0)), 60, 12)
     print(json.dumps({"mode": mode, "sub": sub, "ms": round(t * 1e3, 4)}),
@@ -117,6 +136,5 @@ def run_variant(mode, sub=64):
 
 if __name__ == "__main__":
     enable_compilation_cache()
-    for mode in ("sel_only", "sel_post", "full", "full_xg"):
+    for mode in ("sel_only", "sel_post", "full", "vjp_all"):
         run_variant(mode)
-    run_variant("full", sub=256)

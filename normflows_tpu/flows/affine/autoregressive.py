@@ -17,6 +17,16 @@ from ...core.flow import Flow, sum_except_batch
 from ...nets.made import MADE
 
 
+def _dropout_active(net, key):
+    """Train-time dropout applies exactly when the net has configured
+    dropout AND the caller supplies a PRNG key (the functional analogue of
+    the reference's model.train() switch)."""
+    return key is not None and any(
+        getattr(b, "dropout_probability", 0.0) > 0.0
+        for b in getattr(net, "blocks", ())
+    )
+
+
 class Autoregressive(Flow):
     """Elementwise transform with autoregressive parameters (autoregressive.py:10-47)."""
 
@@ -29,20 +39,32 @@ class Autoregressive(Flow):
         raise NotImplementedError
 
     def forward(self, inputs, context=None, *, key=None):
-        params = self.autoregressive_net(inputs, context)
+        if _dropout_active(self.autoregressive_net, key):
+            params = self.autoregressive_net(inputs, context, key=key,
+                                             train=True)
+        else:
+            params = self.autoregressive_net(inputs, context)
         return self._elementwise_forward(inputs, params)
 
     def inverse(self, inputs, context=None, *, key=None):
         num_inputs = int(np.prod(inputs.shape[1:]))
+        dropout_on = _dropout_active(self.autoregressive_net, key)
 
-        def body(_, carry):
+        def body(i, carry):
             outputs, _ = carry
-            params = self.autoregressive_net(outputs, context)
+            if dropout_on:
+                # fresh dropout mask per sequential pass, like D torch
+                # forward passes in train mode (autoregressive.py:29-38)
+                params = self.autoregressive_net(
+                    outputs, context, key=jax.random.fold_in(key, i),
+                    train=True)
+            else:
+                params = self.autoregressive_net(outputs, context)
             return self._elementwise_inverse(inputs, params)
 
         carry = (jnp.zeros_like(inputs), jnp.zeros(inputs.shape[0], inputs.dtype))
         start = 0
-        if context is None:
+        if context is None and not dropout_on:
             # First recursion pass: MADE's autoregressive property makes the
             # degree-1 output slots *input-independent* (their strict mask
             # connects them to nothing), and every sample feeds the same

@@ -19,6 +19,7 @@ from ...core.flow import sum_except_batch
 from ...ops import splines, backend
 from ...nets.made import MADE
 from ...utils.nn import PeriodicFeaturesElementwise
+from ..affine import autoregressive as ar_base
 from ..affine.autoregressive import Autoregressive
 
 
@@ -166,7 +167,7 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
         return outputs, sum_except_batch(logabsdet)
 
     # ---- transposed (planar) fast path -----------------------------------
-    def _transposed_ok(self, inputs, context):
+    def _transposed_ok(self, inputs, context, key=None):
         """Gate for the zero-relayout pipeline: transposed MADE
         (nets/made.py apply_t) feeding the planar spline kernel
         (ops/spline_pallas.py rqs_transposed_pallas).  Eliminates the
@@ -182,8 +183,17 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
             # general path — the kernel needs a concrete grid
             and isinstance(inputs.shape[0], int)
             and inputs.shape[0] >= 1024
+            # the transposed inverse unrolls F-1 MADE passes and the kernel
+            # holds F*(3K+1) parameter planes in VMEM per block — keep the
+            # base class's fori_loop protection (and the VMEM budget) for
+            # wide feature counts
+            and self.features <= 8
+            and self.features * (3 * self.num_bins + 1) <= 128
             and hasattr(self.autoregressive_net, "supports_t")
             and self.autoregressive_net.supports_t()
+            # train-time dropout (key + configured probability) needs the
+            # key-threaded general path; apply_t has no dropout plumbing
+            and not ar_base._dropout_active(self.autoregressive_net, key)
         )
 
     def _spline_t(self, x_t, params_t, inverse):
@@ -196,7 +206,7 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
         )
 
     def forward(self, inputs, context=None, *, key=None):
-        if not self._transposed_ok(inputs, context):
+        if not self._transposed_ok(inputs, context, key):
             return super().forward(inputs, context, key=key)
         x_t = inputs.T
         params_t = self.autoregressive_net.apply_t(x_t)
@@ -204,7 +214,7 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
         return y_t.T, jnp.sum(ld_t, axis=0)
 
     def inverse(self, inputs, context=None, *, key=None):
-        if not self._transposed_ok(inputs, context):
+        if not self._transposed_ok(inputs, context, key):
             return super().inverse(inputs, context, key=key)
         x_t = inputs.T
         F, B = x_t.shape

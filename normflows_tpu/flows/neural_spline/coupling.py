@@ -79,7 +79,7 @@ class Coupling(Flow):
 
     def forward(self, inputs, context=None, *, key=None):
         id_split, tr_split = self._split(inputs)
-        params = self.transform_net(id_split, context)
+        params = _apply_net(self.transform_net, id_split, context, key)
         tr_split, logabsdet = self._coupling_transform(tr_split, params, inverse=False)
         if self.unconditional_transform is not None:
             id_split, ld_id = self.unconditional_transform.forward(id_split, context)
@@ -93,9 +93,26 @@ class Coupling(Flow):
             id_split, logabsdet = self.unconditional_transform.inverse(
                 id_split, context
             )
-        params = self.transform_net(id_split, context)
+        params = _apply_net(self.transform_net, id_split, context, key)
         tr_split, ld = self._coupling_transform(tr_split, params, inverse=True)
         return self._join(id_split, tr_split), logabsdet + ld
+
+
+
+def _net_dropout_active(net, key):
+    """True when the param net has configured dropout AND a PRNG key was
+    passed: train-time dropout applies exactly when the caller supplies
+    randomness (the functional analogue of the reference's model.train())."""
+    return key is not None and any(
+        getattr(b, "dropout_probability", 0.0) > 0.0
+        for b in getattr(net, "blocks", ())
+    )
+
+
+def _apply_net(net, x, context, key):
+    if _net_dropout_active(net, key):
+        return net(x, context, key=key, train=True)
+    return net(x, context)
 
 
 def _reshape_params(inputs, params):

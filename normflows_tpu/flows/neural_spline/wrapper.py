@@ -81,10 +81,10 @@ class CoupledRationalQuadraticSpline(Flow):
         return cls(prqct=prqct)
 
     def forward(self, z, context=None, *, key=None):
-        return self.prqct.inverse(z, context)
+        return self.prqct.inverse(z, context, key=key)
 
     def inverse(self, z, context=None, *, key=None):
-        return self.prqct.forward(z, context)
+        return self.prqct.forward(z, context, key=key)
 
 
 class CircularCoupledRationalQuadraticSpline(Flow):
@@ -160,10 +160,10 @@ class CircularCoupledRationalQuadraticSpline(Flow):
         return cls(prqct=prqct)
 
     def forward(self, z, context=None, *, key=None):
-        return self.prqct.inverse(z, context)
+        return self.prqct.inverse(z, context, key=key)
 
     def inverse(self, z, context=None, *, key=None):
-        return self.prqct.forward(z, context)
+        return self.prqct.forward(z, context, key=key)
 
 
 class AutoregressiveRationalQuadraticSpline(Flow):
@@ -207,10 +207,10 @@ class AutoregressiveRationalQuadraticSpline(Flow):
         return cls(mprqat=mprqat)
 
     def forward(self, z, context=None, *, key=None):
-        return self.mprqat.inverse(z, context)
+        return self.mprqat.inverse(z, context, key=key)
 
     def inverse(self, z, context=None, *, key=None):
-        return self.mprqat.forward(z, context)
+        return self.mprqat.forward(z, context, key=key)
 
 
 class CircularAutoregressiveRationalQuadraticSpline(Flow):
@@ -260,7 +260,7 @@ class CircularAutoregressiveRationalQuadraticSpline(Flow):
         return cls(mprqat=mprqat)
 
     def forward(self, z, context=None, *, key=None):
-        return self.mprqat.inverse(z, context)
+        return self.mprqat.inverse(z, context, key=key)
 
     def inverse(self, z, context=None, *, key=None):
-        return self.mprqat.forward(z, context)
+        return self.mprqat.forward(z, context, key=key)

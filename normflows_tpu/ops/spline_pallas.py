@@ -91,10 +91,11 @@ def _selection(x, uw, uh, ud, codes, bound, *, num_bins, inverse,
     """Shared K-step bin search + parameter gather.
 
     Returns ``(xs, inside, is_circ, is_lin, sel)`` where ``sel`` holds the
-    selected (cw, w, ch, h, dk, dk1).  With ``collect=True`` additionally
-    returns ``(hits, belows, probs_w, probs_h)`` — the per-bin selection /
-    strictly-below masks and the two softmax probability stacks — the
-    structure the hand-written backward scatters gradients through."""
+    selected (cw, w, ch, h, dk, dk1).  With ``collect=True`` the return is
+    ``(xs, inside, is_circ, is_lin, sel, hits, stats)`` — the per-bin hit
+    masks plus the softmax stats (wmax, wsum, hmax, hsum); the hand-written
+    backward (_bwd_scatter) rebuilds below-masks and probabilities from
+    these to keep the kernel's live state minimal."""
     K = num_bins
     left = -bound
     span = 2.0 * bound

@@ -96,6 +96,12 @@ def export_log_prob(
     shapes; measured in docs/serving.md) — the flexibility tax of a
     shape-polymorphic artifact."""
     if symbolic_batch:
+        if batch_size is not None:
+            raise ValueError(
+                "batch_size only applies with symbolic_batch=False — a"
+                " symbolic-batch export would silently drop it and take the"
+                " slow general spline path (docs/serving.md)."
+            )
         (b,) = jax_export.symbolic_shape("b")
     else:
         b = batch_size if batch_size is not None else 1

@@ -232,3 +232,48 @@ def test_constant_first_pass_gradients_exact():
     g_naive = jax.grad(loss_naive)(diff)
     for a, b in zip(jax.tree.leaves(g_opt), jax.tree.leaves(g_naive)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestDropoutThroughFlowAPI:
+    """dropout_probability must be FUNCTIONAL through the flow API: passing
+    a PRNG key to forward/inverse activates train-time dropout in the param
+    nets (the functional analogue of the reference's model.train()); without
+    a key the layer is the deterministic eval-mode function."""
+
+    def test_coupled_rqs_dropout_applies_with_key(self):
+        layer = flows.CoupledRationalQuadraticSpline.create(
+            jax.random.key(0), 4, 2, 32, num_bins=4,
+            dropout_probability=0.4, init_identity=False)
+        z = jax.random.normal(jax.random.key(1), (16, 4))
+        y1, _ = layer.forward(z, key=jax.random.key(10))
+        y2, _ = layer.forward(z, key=jax.random.key(11))
+        y3, _ = layer.forward(z)
+        y4, _ = layer.forward(z)
+        assert not np.allclose(np.asarray(y1), np.asarray(y2))  # stochastic
+        np.testing.assert_allclose(np.asarray(y3), np.asarray(y4))  # eval det.
+
+    def test_maf_dropout_applies_with_key(self):
+        layer = flows.MaskedAffineAutoregressive.create(
+            jax.random.key(0), features=4, hidden_features=32,
+            dropout_probability=0.4)
+        z = jax.random.normal(jax.random.key(1), (16, 4))
+        y1, _ = layer.forward(z, key=jax.random.key(10))
+        y2, _ = layer.forward(z, key=jax.random.key(11))
+        y3, _ = layer.forward(z)
+        assert not np.allclose(np.asarray(y1), np.asarray(y2))
+        # inverse recursion also draws fresh masks per pass under a key
+        x1, _ = layer.inverse(z, key=jax.random.key(10))
+        x2, _ = layer.inverse(z, key=jax.random.key(11))
+        assert not np.allclose(np.asarray(x1), np.asarray(x2))
+        # and stays the deterministic eval function without one
+        x3, _ = layer.inverse(z)
+        x4, _ = layer.inverse(z)
+        np.testing.assert_allclose(np.asarray(x3), np.asarray(x4))
+
+    def test_zero_dropout_ignores_key(self):
+        layer = flows.CoupledRationalQuadraticSpline.create(
+            jax.random.key(0), 4, 2, 32, num_bins=4, init_identity=False)
+        z = jax.random.normal(jax.random.key(1), (16, 4))
+        y1, _ = layer.forward(z, key=jax.random.key(10))
+        y2, _ = layer.forward(z)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2))

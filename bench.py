@@ -101,12 +101,19 @@ def main():
     diff, opt_state, key, loss = compiled(diff, opt_state, key)
     jax.block_until_ready(loss)
 
+    # median of 3 repeats, each timing 4 pipelined chunks: robust against
+    # transient tunnel/chip stalls in either direction (one session produced
+    # a physically impossible 61M samples/s single measurement — a dispatch
+    # glitch — and occasional ~20%-slow outliers)
     chunks = 4
-    t0 = time.perf_counter()
-    for _ in range(chunks):
-        diff, opt_state, key, loss = compiled(diff, opt_state, key)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / (chunks * chunk_len)
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(chunks):
+            diff, opt_state, key, loss = compiled(diff, opt_state, key)
+        jax.block_until_ready(loss)
+        rates.append((time.perf_counter() - t0) / (chunks * chunk_len))
+    dt = sorted(rates)[1]
     assert bool(jnp.isfinite(loss)), "non-finite loss in benchmark step"
 
     samples_per_sec = num_samples / dt

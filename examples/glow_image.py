@@ -10,6 +10,7 @@ Run:  python examples/glow_image.py [--iters 1000] [--L 3 --K 16 --hidden 256]
 """
 
 import argparse
+import sys
 import time
 
 import numpy as np
@@ -93,6 +94,15 @@ def main():
                          "seen on this hardware")
     args = ap.parse_args()
     if args.large_batch_recipe:
+        # The recipe pins batch/lr/bf16 — refuse silently-ignored overrides.
+        argv = set(sys.argv[1:])
+        clashes = [f for f in ("--batch", "--lr") if f in argv]
+        if clashes:
+            ap.error(
+                f"--large-batch-recipe fixes {', '.join(clashes)} "
+                "(batch=512, warmup-cosine lr peaking at 6e-3); drop either "
+                "the recipe flag or the explicit override"
+            )
         args.batch = 512
         args.bf16 = True
 

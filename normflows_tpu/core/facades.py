@@ -260,12 +260,43 @@ def _load_as(cls, path: str):
 
 
 def load_params_like(model, path: str):
-    """Load saved leaves into an existing model structure (state_dict-style)."""
+    """Load saved leaves into an existing model structure (state_dict-style).
+
+    Mirrors the reference ``load_state_dict`` key checking (core.py:211-213):
+    the checkpoint's pytree *structure* must match the model's exactly —
+    equal leaf counts alone are not enough (two different architectures can
+    coincidentally agree on leaf count and would load into garbage)."""
     with open(path, "rb") as f:
         data = pickle.load(f)
     leaves, treedef = jax.tree.flatten(model)
-    if len(leaves) != len(data["leaves"]):
-        raise ValueError("checkpoint does not match model structure")
+    saved_treedef = data["treedef"]
+    if treedef != saved_treedef:
+        # Name the first mismatching path for the error message.
+        model_paths = [
+            jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_flatten_with_path(model)[0]
+        ]
+        saved = jax.tree.unflatten(saved_treedef, data["leaves"])
+        saved_paths = [
+            jax.tree_util.keystr(p)
+            for p, _ in jax.tree_util.tree_flatten_with_path(saved)[0]
+        ]
+        detail = ""
+        for i, (mp, sp) in enumerate(zip(model_paths, saved_paths)):
+            if mp != sp:
+                detail = f"; first mismatching leaf path: model has {mp!r}, checkpoint has {sp!r} (leaf {i})"
+                break
+        else:
+            if len(model_paths) != len(saved_paths):
+                detail = (
+                    f"; model has {len(model_paths)} leaves, checkpoint has "
+                    f"{len(saved_paths)}"
+                )
+            else:
+                detail = "; same leaf paths but different static structure (treedef mismatch)"
+        raise ValueError(
+            f"checkpoint at {path} does not match model structure{detail}"
+        )
     return jax.tree.unflatten(treedef, [jnp.asarray(l) for l in data["leaves"]])
 
 

@@ -107,6 +107,11 @@ def trainable_filter(tree) -> Any:
 
     def rec(x, in_buffer):
         if isinstance(x, Module):
+            # A Module may declare a static field ``trainable``; when False,
+            # all its array leaves (recursively) are treated as buffers —
+            # the functional analogue of the reference registering loc/scale
+            # as fixed buffers for ``trainable=False`` (base.py:62-72).
+            frozen = not getattr(x, "trainable", True)
             obj = object.__new__(type(x))
             for f in dataclasses.fields(x):
                 val = getattr(x, f.name)
@@ -114,7 +119,9 @@ def trainable_filter(tree) -> Any:
                     object.__setattr__(obj, f.name, val)
                 else:
                     object.__setattr__(
-                        obj, f.name, rec(val, in_buffer or bool(f.metadata.get(_BUFFER)))
+                        obj,
+                        f.name,
+                        rec(val, in_buffer or frozen or bool(f.metadata.get(_BUFFER))),
                     )
             return obj
         if isinstance(x, tuple):

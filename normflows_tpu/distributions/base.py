@@ -63,15 +63,19 @@ class DiagGaussian(BaseDistribution):
     log_scale: jnp.ndarray
     shape: tuple = static_field()
     temperature: Optional[float] = static_field(default=None)
+    trainable: bool = static_field(default=True)
 
     @classmethod
     def create(cls, shape, trainable: bool = True):
         shape = _tuple_shape(shape)
-        # `trainable=False` is realized by freezing via an optimizer mask or
-        # wrapping in lax.stop_gradient at the call site; parameters are
-        # identical either way.
+        # `trainable=False` makes loc/log_scale buffer leaves (excluded from
+        # `partition`'s differentiable part) — matching the reference
+        # registering them as fixed buffers (base.py:62-72).
         return cls(
-            loc=jnp.zeros((1, *shape)), log_scale=jnp.zeros((1, *shape)), shape=shape
+            loc=jnp.zeros((1, *shape)),
+            log_scale=jnp.zeros((1, *shape)),
+            shape=shape,
+            trainable=trainable,
         )
 
     @property
@@ -434,14 +438,14 @@ class GaussianMixture(BaseDistribution):
     weight_scores: jnp.ndarray  # (1, n_modes)
     n_modes: int = static_field()
     dim: int = static_field()
+    trainable: bool = static_field(default=True)
 
     @classmethod
     def create(cls, n_modes, dim, loc=None, scale=None, weights=None,
                trainable=True, key=None):
-        # `trainable=False` is realized by freezing via an optimizer mask or
-        # lax.stop_gradient at the call site (same convention as
-        # DiagGaussian.create); parameters are identical either way.
-        del trainable
+        # `trainable=False` makes loc/log_scale/weight_scores buffer leaves
+        # (excluded by `partition`), matching the reference registering them
+        # as fixed buffers (base.py:593-608).
         if loc is None:
             if key is None:
                 key = jax.random.key(0)
@@ -457,6 +461,7 @@ class GaussianMixture(BaseDistribution):
             weight_scores=jnp.log(weights)[None],
             n_modes=n_modes,
             dim=dim,
+            trainable=trainable,
         )
 
     def sample_and_log_prob(self, key, num_samples: int = 1, context=None):

@@ -15,16 +15,7 @@ import jax.numpy as jnp
 from ...core.module import Module, static_field
 from ...core.flow import Flow, sum_except_batch
 from ...nets.made import MADE
-
-
-def _dropout_active(net, key):
-    """Train-time dropout applies exactly when the net has configured
-    dropout AND the caller supplies a PRNG key (the functional analogue of
-    the reference's model.train() switch)."""
-    return key is not None and any(
-        getattr(b, "dropout_probability", 0.0) > 0.0
-        for b in getattr(net, "blocks", ())
-    )
+from ...utils.nn import net_dropout_active as _dropout_active
 
 
 class Autoregressive(Flow):

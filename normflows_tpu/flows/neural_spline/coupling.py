@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from ...core.module import Module, static_field, buffer_field
 from ...core.flow import Flow, sum_except_batch
 from ...ops import splines, backend
+from ...utils.nn import net_dropout_active as _net_dropout_active
 
 
 def _split_indices(mask):
@@ -97,16 +98,6 @@ class Coupling(Flow):
         tr_split, ld = self._coupling_transform(tr_split, params, inverse=True)
         return self._join(id_split, tr_split), logabsdet + ld
 
-
-
-def _net_dropout_active(net, key):
-    """True when the param net has configured dropout AND a PRNG key was
-    passed: train-time dropout applies exactly when the caller supplies
-    randomness (the functional analogue of the reference's model.train())."""
-    return key is not None and any(
-        getattr(b, "dropout_probability", 0.0) > 0.0
-        for b in getattr(net, "blocks", ())
-    )
 
 
 def _apply_net(net, x, context, key):

@@ -79,7 +79,16 @@ class MetropolisHastings(Flow):
                 z_, log_p_diff = self.proposal.propose_from_noise(carry[0], eps)
                 return step(carry, z_, log_p_diff, w), None
 
-            xs = (jnp.asarray(noise[0], z.dtype), jnp.asarray(noise[1], z.dtype))
+            eps_arr = jnp.asarray(noise[0], z.dtype)
+            w_arr = jnp.asarray(noise[1], z.dtype)
+            # lax.scan takes its length from the noise arrays — a wrong
+            # leading dim would silently run a different number of MH steps.
+            if eps_arr.shape[0] != self.steps or w_arr.shape[0] != self.steps:
+                raise ValueError(
+                    f"noise leading dim must equal steps={self.steps}; got "
+                    f"eps {eps_arr.shape[0]}, w {w_arr.shape[0]}"
+                )
+            xs = (eps_arr, w_arr)
 
         (z, _, log_det), _ = jax.lax.scan(body, (z, log_p, log_det), xs)
         return z, log_det

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core.module import partition, combine
 
@@ -80,7 +80,7 @@ def _make_pipeline_raw(
             mesh=mesh,
             in_specs=(P(stage_axis), P()),
             out_specs=(P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         def run(params, z):
             params = jax.tree.map(lambda x: x[0], params)  # (per_stage, ...)

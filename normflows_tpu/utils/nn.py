@@ -16,7 +16,18 @@ __all__ = [
     "PeriodicFeaturesCat",
     "tile",
     "sum_except_batch",
+    "net_dropout_active",
 ]
+
+
+def net_dropout_active(net, key):
+    """True when the param net has configured dropout AND a PRNG key was
+    passed: train-time dropout applies exactly when the caller supplies
+    randomness (the functional analogue of the reference's model.train())."""
+    return key is not None and any(
+        getattr(b, "dropout_probability", 0.0) > 0.0
+        for b in getattr(net, "blocks", ())
+    )
 
 
 class ActNorm(Module):

@@ -215,3 +215,49 @@ def test_facade_load_rejects_wrong_class(tmp_path):
     assert isinstance(nf.NormalizingFlow.load(path), nf.NormalizingFlow)
     with pytest.raises(TypeError, match="NormalizingFlow"):
         nf.MultiscaleFlow.load(path)
+
+
+def test_load_params_like_rejects_structure_mismatch(tmp_path):
+    """load_params_like must compare treedefs, not leaf counts: two models
+    with equal leaf counts but different structures must NOT load silently
+    (mirrors reference load_state_dict key checking, core.py:211-213)."""
+    import pytest
+    import normflows_tpu as nf
+    from normflows_tpu import flows, distributions
+    from normflows_tpu.core.facades import load_params_like
+
+    base = distributions.DiagGaussian.create(2)
+    # Planar and Radial coincide at 4 leaves for d=2:
+    # Planar(u,w,b,_) vs Radial(z_0,log_alpha,beta) + base(loc,log_scale)...
+    planar = nf.NormalizingFlow.create(base, [flows.Planar.create((2,))])
+    radial = nf.NormalizingFlow.create(base, [flows.Radial.create((2,))])
+    path = str(tmp_path / "planar.pkl")
+    planar.save(path)
+
+    # Round-trip into the matching structure works.
+    restored = load_params_like(planar, path)
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(planar)):
+        assert_close(a, b)
+
+    # A different architecture must raise with the mismatching path named.
+    with pytest.raises(ValueError, match="does not match model structure"):
+        load_params_like(radial, path)
+
+
+def test_gaussian_mixture_trainable_flag():
+    """GaussianMixture.create(trainable=False) must exclude loc/scale/weights
+    from the differentiable partition (reference registers them as fixed
+    buffers, base.py:593-608)."""
+    import normflows_tpu as nf
+    from normflows_tpu import distributions as D
+
+    frozen = D.GaussianMixture.create(3, 2, trainable=False, key=KEY)
+    live = D.GaussianMixture.create(3, 2, trainable=True, key=KEY)
+    diff_f, _ = nf.partition(frozen)
+    diff_l, _ = nf.partition(live)
+    assert len([l for l in jax.tree.leaves(diff_f) if l is not None]) == 0
+    assert len([l for l in jax.tree.leaves(diff_l) if l is not None]) == 3
+
+    d_frozen = D.DiagGaussian.create(2, trainable=False)
+    diff_d, _ = nf.partition(d_frozen)
+    assert len([l for l in jax.tree.leaves(diff_d) if l is not None]) == 0

@@ -28,14 +28,14 @@ from normflows_tpu.utils.profiling import chip_peak_flops, executable_cost
 BASELINE_SAMPLES_PER_SEC = 535.2  # see BASELINE_MEASURED.json
 
 
-def build_model():
+def build_model(K=12, hidden=512, num_bins=10):
     base = distributions.UniformGaussian.create(2, [1], jnp.array([1.0, 2 * np.pi]))
     layers = [
         flows.CircularAutoregressiveRationalQuadraticSpline.create(
-            jax.random.key(i), 2, 1, 512, ind_circ=[1], num_bins=10,
+            jax.random.key(i), 2, 1, hidden, ind_circ=[1], num_bins=num_bins,
             tail_bound=jnp.array([5.0, np.pi]), permute_mask=True, rng_seed=i,
         )
-        for i in range(12)
+        for i in range(K)
     ]
     return nf.NormalizingFlow.create(
         base, layers, p=distributions.GaussianVonMises()

@@ -46,14 +46,23 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--long", type=int, default=40)
     ap.add_argument("--short", type=int, default=8)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke-test config (tiny model/N, 2-step scans)")
     args = ap.parse_args()
     enable_compilation_cache()
 
     import bench
 
-    model = bench.build_model()
+    if args.tiny:
+        model = bench.build_model(2, 32, num_bins=4)
+        N = 2**8
+        args.long, args.short = 2, 1
+        chain_ks = (1, 2)
+    else:
+        model = bench.build_model()
+        N = 2**14
+        chain_ks = (1, 3, 6, 12)
     model = nf.utils.set_compute_dtype(model, "bfloat16")
-    N = 2**14
 
     def report(name, sec, note=""):
         print(json.dumps({"probe": name, "ms": round(sec * 1e3, 3),
@@ -79,11 +88,12 @@ def main():
                          args.long, args.short)
 
     times = {}
-    for K in (1, 3, 6, 12):
+    for K in chain_ks:
         times[K] = chain_case(K)
         report(f"chain_grad_K{K}", times[K])
-    slope = (times[12] - times[1]) / 11
-    report("per_layer_chained", slope, "slope K=1..12")
+    k_hi, k_lo = chain_ks[-1], chain_ks[0]
+    slope = (times[k_hi] - times[k_lo]) / (k_hi - k_lo)
+    report("per_layer_chained", slope, f"slope K={k_lo}..{k_hi}")
 
     # ---- isolated layers (no chain) ---------------------------------------
     diff, rest = nf.partition(model)

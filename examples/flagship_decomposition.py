@@ -85,17 +85,27 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--long", type=int, default=40)
     ap.add_argument("--short", type=int, default=8)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke-test config (tiny model/N, 2-step scans) — "
+                         "numbers are meaningless, only checks the probe runs")
     args = ap.parse_args()
     enable_compilation_cache()
 
     import bench
 
-    model = bench.build_model()
+    if args.tiny:
+        model = bench.build_model(2, 32, num_bins=4)
+        N = 2**8
+        args.long, args.short = 2, 1
+    else:
+        model = bench.build_model()
+        N = 2**14
     model = nf.utils.set_compute_dtype(model, "bfloat16")
     opt = optax.adam(5e-4)
     diff, rest = nf.partition(model)
     opt_state = opt.init(diff)
-    N = 2**14
+    n_layers = len(model.flows)
+    hidden = model.flows[0].mprqat.autoregressive_net.hidden_features
 
     rows = []
 
@@ -242,7 +252,7 @@ def main():
 
     def spline_body(c):
         z, acc = c
-        for _ in range(12):
+        for _ in range(n_layers):
             out, ld = layer0._elementwise(z, params0, inverse=True)
             z = jnp.clip(out, -3.0, 3.0)
             acc = acc + jnp.mean(ld)
@@ -260,7 +270,7 @@ def main():
         # the identity-swap ablation in flagship_backward_probe.py); both
         # output and log-det cotangents are exercised.
         g = jax.grad(
-            lambda p: 12.0 * sum(
+            lambda p: float(n_layers) * sum(
                 jnp.mean(t) for t in layer0._elementwise(z, p, inverse=True))
         )(prm)
         return prm + 1e-30 * g, z
@@ -281,19 +291,19 @@ def main():
     report("adam_only", t_adam, note=f"{n_params / 1e6:.2f}M params")
 
     # ---- dense matmul ceiling at MADE shapes ------------------------------
-    a0 = jax.random.normal(jax.random.key(5), (N, 512), jnp.bfloat16)
-    w0 = jax.random.normal(jax.random.key(6), (512, 512), jnp.bfloat16)
+    a0 = jax.random.normal(jax.random.key(5), (N, hidden), jnp.bfloat16)
+    w0 = jax.random.normal(jax.random.key(6), (hidden, hidden), jnp.bfloat16)
 
     def mm_body(c):
         a, acc = c
-        for _ in range(24):
+        for _ in range(2 * n_layers):
             a = (a @ w0) * 1e-2
         return a, acc + jnp.float32(jnp.sum(a[0, :1]))
 
-    f_mm = 24 * 2 * N * 512 * 512
+    f_mm = 2 * n_layers * 2 * N * hidden * hidden
     t_mm = scan_time(mm_body, (a0, jnp.float32(0)), args.long, args.short)
     report("matmul_ceiling", t_mm, float(f_mm),
-           "24 dense bf16 (2^14 x 512)@(512 x 512)")
+           f"{2 * n_layers} dense bf16 ({N} x {hidden})@({hidden} x {hidden})")
 
     # ---- attribution summary ---------------------------------------------
     print(json.dumps({

@@ -41,15 +41,21 @@ def main():
     ap.add_argument("--long", type=int, default=30)
     ap.add_argument("--short", type=int, default=6)
     ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke-test config (tiny model/images, 2-step scans)")
     args = ap.parse_args()
     enable_compilation_cache()
 
-    L, K, hidden = 3, 16, 256
+    if args.tiny:
+        L, K, hidden, side = 2, 2, 32, 8
+        args.batch, args.long, args.short = 16, 2, 1
+    else:
+        L, K, hidden, side = 3, 16, 256, 32
     B = args.batch
-    x_all, y_all = synthetic_images(jax.random.key(7), B + 64, (3, 32, 32))
+    x_all, y_all = synthetic_images(jax.random.key(7), B + 64, (3, side, side))
     scale = preprocessing.Scale(255.0 / 256.0)
     jitter = preprocessing.Jitter(1.0 / 256.0)
-    model = build_glow(L, K, hidden, (3, 32, 32), key=jax.random.key(0))
+    model = build_glow(L, K, hidden, (3, side, side), key=jax.random.key(0))
     model = nf.utils.set_compute_dtype(model, "bfloat16")
     model = model.init_actnorm(
         jitter(scale(x_all[:64]), jax.random.key(8)), y_all[:64])
@@ -114,7 +120,7 @@ def main():
     C0 = 3
     for i in range(L):
         cs = C0 * 2 ** (L + 1 - i)
-        hw = 32 // 2 ** (L - i)
+        hw = side // 2 ** (L - i)
         level_flows = model.flows[i][:-1]  # drop the Squeeze
         zi = jax.random.normal(jax.random.key(20 + i), (B, cs, hw, hw)) * 0.3
 
@@ -173,7 +179,7 @@ def main():
     # ---- dense conv ceiling at the dominant shape (level 0) --------------
     cs = C0 * 2 ** (L + 1)
     half = cs - cs // 2
-    hw = 32 // 2 ** L
+    hw = side // 2 ** L
     a = jax.random.normal(jax.random.key(40), (B, hidden, hw, hw)).astype(jnp.bfloat16)
     w = (jax.random.normal(jax.random.key(41), (hidden, hidden, 3, 3)) * 0.02).astype(jnp.bfloat16)
 

@@ -152,6 +152,10 @@ def main():
 
     rows = []
     for name, batch, iters, lr, sched, warmup in configs:
+        # tiny/short runs: warmup must stay shorter than the run itself
+        # (cosine decay_steps = iters - warmup must be positive); no effect
+        # at the full 256k-image protocol (iters >= 500, warmups 50/100)
+        warmup = min(warmup, max(1, iters // 5))
         rows.append(run_config(name, x_all, y_all, L, K, hidden, batch,
                                iters, lr, sched, warmup))
 

@@ -39,6 +39,8 @@ from normflows_tpu.utils import enable_compilation_cache
 
 from flagship_decomposition import scan_time
 
+import argparse
+
 N, F, K = 2**14, 2, 10
 cfg = dict(num_bins=K, inverse=True,
            min_bin_width=ref.DEFAULT_MIN_BIN_WIDTH,
@@ -96,9 +98,11 @@ def variant_kernel(mode):
     return kern
 
 
-def run_variant(mode, sub=64):
-    n = N * F
+def run_variant(mode, sub=64, n_samples=None, long_len=60, short_len=12,
+                interpret=False):
+    n = (n_samples if n_samples is not None else N) * F
     rows = n // sp.LANE
+    sub = min(sub, rows)
     grid = rows // sub
     espec, pspec = sp._specs(K, sub)
 
@@ -122,6 +126,7 @@ def run_variant(mode, sub=64):
             jax.ShapeDtypeStruct((K, rows, sp.LANE), jnp.float32),
             jax.ShapeDtypeStruct((K + 1, rows, sp.LANE), jnp.float32),
         ),
+        interpret=interpret,
     )
 
     def body(c):
@@ -129,12 +134,27 @@ def run_variant(mode, sub=64):
         xg, uwg, uhg, udg = call(xx, uw, uh, ud, codes, bound, ones, ones)
         return xx + 1e-30 * xg, acc + jnp.sum(xg[0, :1]) + jnp.sum(uwg[0, 0, :1])
 
-    t = scan_time(body, (x, jnp.float32(0)), 60, 12)
+    t = scan_time(body, (x, jnp.float32(0)), long_len, short_len)
     print(json.dumps({"mode": mode, "sub": sub, "ms": round(t * 1e3, 4)}),
           flush=True)
 
 
-if __name__ == "__main__":
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke-test config (tiny n, 2-step scans, "
+                         "interpret-mode kernels off-TPU)")
+    args = ap.parse_args()
     enable_compilation_cache()
+    interpret = jax.default_backend() != "tpu"
+    if args.tiny:
+        kw = dict(n_samples=2**9, long_len=2, short_len=1,
+                  interpret=interpret)
+    else:
+        kw = dict(interpret=interpret)
     for mode in ("sel_only", "sel_post", "full", "vjp_all"):
-        run_variant(mode)
+        run_variant(mode, **kw)
+
+
+if __name__ == "__main__":
+    main()

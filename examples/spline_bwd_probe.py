@@ -31,8 +31,14 @@ def main():
     ap.add_argument("--long", type=int, default=60)
     ap.add_argument("--short", type=int, default=12)
     ap.add_argument("--n", type=int, default=2**14)
+    ap.add_argument("--tiny", action="store_true",
+                    help="smoke-test config (tiny n, 2-step scans)")
     args = ap.parse_args()
     enable_compilation_cache()
+    if args.tiny:
+        args.n, args.long, args.short = 2**9, 2, 1
+    # the Pallas kernel only compiles on TPU; elsewhere run it interpreted
+    interpret = jax.default_backend() != "tpu"
 
     N, F, K = args.n, 2, 10
     tail_codes = (ref.TAIL_LINEAR, ref.TAIL_CIRCULAR)
@@ -49,7 +55,7 @@ def main():
         return pallas_spline(x, uw, uh, ud, tail_codes, tail_bound,
                              inverse, ref.DEFAULT_MIN_BIN_WIDTH,
                              ref.DEFAULT_MIN_BIN_HEIGHT,
-                             ref.DEFAULT_MIN_DERIVATIVE, False, -1)
+                             ref.DEFAULT_MIN_DERIVATIVE, interpret, -1)
 
     def jnp_fn(x, uw, uh, ud, inverse):
         return ref.unconstrained_rational_quadratic_spline(

@@ -166,6 +166,65 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
             )
         return outputs, sum_except_batch(logabsdet)
 
+    def _elementwise_inverse_single(self, x_col, params, dim_idx):
+        """One feature's RQS inverse for the sliced sequential recursion:
+        ``x_col`` (B, 1), ``params`` (B, 3K+1), ``dim_idx`` traced feature
+        position (selects that dim's tail code / bound)."""
+        K = self.num_bins
+        uw = params[:, None, :K]
+        uh = params[:, None, K:2 * K]
+        ud = params[:, None, 2 * K:]
+        if self.constrained:
+            derivs = splines.make_knot_derivatives(
+                ud, jnp.int32(splines.TAIL_NONE), self.min_derivative)
+            out, ld = splines.rational_quadratic_spline(
+                x_col, uw, uh, derivs, inverse=True,
+                min_bin_width=self.min_bin_width,
+                min_bin_height=self.min_bin_height,
+            )
+        else:
+            codes = jnp.asarray(np.asarray(self.tail_codes, np.int32))[dim_idx]
+            bound = jnp.asarray(np.asarray(self.tail_bound, np.float32))[dim_idx]
+            out, ld = splines.unconstrained_rational_quadratic_spline(
+                x_col, uw, uh, ud, inverse=True,
+                tail_codes=jnp.broadcast_to(codes, x_col.shape),
+                tail_bound=jnp.broadcast_to(bound, x_col.shape),
+                min_bin_width=self.min_bin_width,
+                min_bin_height=self.min_bin_height,
+                min_derivative=self.min_derivative,
+            )
+        return out, ld[:, 0]
+
+    def _elementwise_inverse_row(self, x_row, params_rows, dim_idx):
+        """Single-feature RQS inverse in the transposed layout, for the
+        sliced sequential recursion: ``x_row`` (1, B), ``params_rows``
+        (3K+1, B), batch on lanes.  Uses the dynamic-codes flat Pallas
+        kernel (the active feature's tail code/bound is a loop variable);
+        the jnp spline here measured 0.26 ms PER CALL inside the recursion
+        (unfused ~30-op graphs on a (B, 1) slice) — 64 calls cost more than
+        the whole naive path (docs/performance.md "Large-D
+        autoregressive")."""
+        if (backend.use_pallas() and x_row.dtype == jnp.float32
+                and not self.constrained):
+            from ...ops.spline_pallas import unconstrained_rqs_pallas_dyncodes
+
+            K = self.num_bins
+            B = x_row.shape[1]
+            codes = jnp.broadcast_to(
+                jnp.asarray(np.asarray(self.tail_codes, np.int32))[dim_idx],
+                (B,))
+            bound = jnp.broadcast_to(
+                jnp.asarray(np.asarray(self.tail_bound, np.float32))[dim_idx],
+                (B,))
+            y, ld = unconstrained_rqs_pallas_dyncodes(
+                x_row.reshape(-1), params_rows[:K], params_rows[K:2 * K],
+                params_rows[2 * K:], codes, bound, True,
+                self.min_bin_width, self.min_bin_height, self.min_derivative,
+                backend.pallas_interpret(),
+            )
+            return y.reshape(1, -1), ld
+        return super()._elementwise_inverse_row(x_row, params_rows, dim_idx)
+
     # ---- transposed (planar) fast path -----------------------------------
     def _transposed_ok(self, inputs, context, key=None):
         """Gate for the zero-relayout pipeline: transposed MADE

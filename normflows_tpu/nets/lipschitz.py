@@ -2,15 +2,15 @@
 (reference: normflows/nets/lipschitz.py, from rtqichen/residual-flows).
 
 TPU-first re-design notes:
-  * `InducedNormLinear` supports any fixed induced (domain, codomain) norm
-    order — p=2 via L2 power iteration, p=1 / inf via projmax, general p via
-    the dual-norm maximizer steps (lipschitz.py:659-689); only the
-    reference's LEARNABLE-ord mode is out of scope (its public nets never
-    instantiate it).  The conv variant stays p=2 — the only case
-    `LipschitzCNN` (lipschitz.py:69-129) constructs.  Power iteration is a
-    pure function returning an updated module (u/v/scale are buffers),
-    mirroring the reference's train-loop `update_lipschitz`
-    (utils/optim.py:28-31) rather than hidden in-forward mutation.
+  * `InducedNormLinear` AND `InducedNormConv2d` support any fixed induced
+    (domain, codomain) norm order — p=2 via L2 power iteration, p=1 / inf
+    via projmax, general p via the dual-norm maximizer steps
+    (lipschitz.py:659-689); only the reference's LEARNABLE-ord mode is out
+    of scope (its public nets never instantiate it — see PARITY.md for the
+    reachability argument).  Power iteration is a pure function returning
+    an updated module (u/v/scale are buffers), mirroring the reference's
+    train-loop `update_lipschitz` (utils/optim.py:28-31) rather than hidden
+    in-forward mutation.
   * The conv power iteration runs through `lax.conv` / `conv_transpose`
     (lipschitz.py:553-610); spatial dims are fixed at construction instead of
     lazily on first forward (lipschitz.py:612-616) — static shapes for XLA.
@@ -208,10 +208,18 @@ class InducedNormLinear(Module):
 
 
 class InducedNormConv2d(Module):
-    """Spectral-norm-constrained conv layer (lipschitz.py:295-639), p=2.
+    """Induced-norm-constrained conv layer (lipschitz.py:295-639).
 
     Power iteration maps u (output feature map) and v (input feature map)
-    through conv / conv-transpose; requires static spatial dims.
+    through conv / conv-transpose (reference _compute_weight_kxk,
+    lipschitz.py:533-610); requires static spatial dims.  Any fixed induced
+    (domain, codomain) norm order is supported via the same dual-norm
+    maximizer steps as :class:`InducedNormLinear` (reference normalize_u/v,
+    lipschitz.py:659-689) — for a 1x1 kernel with same-W-per-pixel the
+    full-map iteration is mathematically equivalent to the reference's
+    channels-only shortcut (block-diagonal operator: the induced p-norm of
+    diag(W, ..., W) equals the induced p-norm of W).  Only the LEARNABLE-ord
+    mode stays out of scope, as for the linear layer (see PARITY.md).
     """
 
     weight: jnp.ndarray  # (out, in, kh, kw)
@@ -226,18 +234,15 @@ class InducedNormConv2d(Module):
     n_iterations: Optional[int] = static_field(default=5)
     atol: Optional[float] = static_field(default=None)
     rtol: Optional[float] = static_field(default=None)
+    domain: float = static_field(default=2.0)
+    codomain: float = static_field(default=2.0)
 
     @classmethod
     def create(cls, key, in_channels, out_channels, kernel_size, spatial_dims,
                bias=True, coeff=0.97, n_iterations=5, zero_init=False,
                stride=1, padding=None, domain=2, codomain=2,
                atol=None, rtol=None):
-        if domain != 2 or codomain != 2:
-            raise NotImplementedError(
-                "InducedNormConv2d supports only the 2-norm domain/codomain"
-                " (the only case the reference's LipschitzCNN instantiates);"
-                " general fixed-p is available on InducedNormLinear."
-            )
+        _check_p2(domain, codomain)
         if stride != 1:
             raise NotImplementedError(
                 "stride != 1 is not supported; the reference's LipschitzCNN"
@@ -260,13 +265,16 @@ class InducedNormConv2d(Module):
                 1.0 / fan_in
             )
         b = jnp.zeros(out_channels) if bias else None
-        u = _normalize(jax.random.normal(ku, (out_channels * h * w_,)))
-        v = _normalize(jax.random.normal(kv, (in_channels * h * w_,)))
+        u = _normalize_u(jax.random.normal(ku, (out_channels * h * w_,)),
+                         float(codomain))
+        v = _normalize_v(jax.random.normal(kv, (in_channels * h * w_,)),
+                         float(domain))
         self_ = cls(
             weight=w, bias=b, u=u, v=v, scale=jnp.zeros(()),
             in_shape=(in_channels, h, w_), out_shape=(out_channels, h, w_),
             padding=k // 2, coeff=coeff, n_iterations=n_iterations,
             atol=atol, rtol=rtol,
+            domain=float(domain), codomain=float(codomain),
         )
         return self_.update_power_iteration(n_iterations=50)
 
@@ -289,6 +297,8 @@ class InducedNormConv2d(Module):
             lambda v: self._conv(v.reshape(self.in_shape), w).reshape(-1),
             lambda u: self._conv_t(u.reshape(self.out_shape), w).reshape(-1),
             n, self.atol, self.rtol,
+            nu=lambda x: _normalize_u(x, self.codomain),
+            nv=lambda x: _normalize_v(x, self.domain),
         )
         sigma = u @ self._conv(v.reshape(self.in_shape), w).reshape(-1)
         return self.replace(u=u, v=v, scale=sigma)

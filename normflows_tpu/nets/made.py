@@ -242,6 +242,11 @@ class MADE(Module):
     final_layer: MaskedLinear
     preprocessing: Optional[Module]
     hidden_features: int = static_field(default=0)
+    # feature positions sorted by autoregressive degree (argsort of the
+    # possibly-permuted input degrees) — static so the sliced sequential
+    # inverse can order its recursion at trace time (see
+    # flows/affine/autoregressive.py _inverse_sliced)
+    input_order: Optional[tuple] = static_field(default=None)
 
     @classmethod
     def create(
@@ -307,6 +312,9 @@ class MADE(Module):
             final_layer=final,
             preprocessing=preprocessing,
             hidden_features=hidden_features,
+            input_order=tuple(
+                int(i) for i in np.argsort(input_degrees_, kind="stable")
+            ),
         )
 
     def __call__(self, x, context=None, *, key=None, train=False):

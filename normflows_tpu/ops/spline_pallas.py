@@ -619,6 +619,94 @@ def _t_blocks(x_t, params_t, sub):
             rows, pad)
 
 
+def _dyn_pad(x, uw_t, uh_t, ud_t, codes, bounds, sub):
+    n = x.shape[0]
+    pad = (-n) % (sub * LANE)
+    if pad:
+        x = jnp.pad(x, (0, pad))
+        uw_t = jnp.pad(uw_t, ((0, 0), (0, pad)))
+        uh_t = jnp.pad(uh_t, ((0, 0), (0, pad)))
+        ud_t = jnp.pad(ud_t, ((0, 0), (0, pad)))
+        codes = jnp.pad(codes, (0, pad), constant_values=ref.TAIL_LINEAR)
+        bounds = jnp.pad(bounds, (0, pad), constant_values=1.0)
+    return x, uw_t, uh_t, ud_t, codes, bounds, n, pad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10))
+def unconstrained_rqs_pallas_dyncodes(
+    x, uw_t, uh_t, ud_t, codes, bounds, inverse,
+    min_bin_width=ref.DEFAULT_MIN_BIN_WIDTH,
+    min_bin_height=ref.DEFAULT_MIN_BIN_HEIGHT,
+    min_derivative=ref.DEFAULT_MIN_DERIVATIVE,
+    interpret=False,
+):
+    """Flat-layout Pallas spline with TRACED per-element codes/bounds.
+
+    Unlike :func:`unconstrained_rational_quadratic_spline_pallas` (static
+    tail tuples baked at trace time), ``codes`` (int32, (N,)) and ``bounds``
+    (float, (N,)) are ordinary array operands — usable when the tail
+    selection is data-dependent, e.g. the sliced sequential AR inverse where
+    the active feature index is a loop variable.  Params are pre-transposed:
+    ``uw_t``/``uh_t`` (K, N), ``ud_t`` (K+1, N); returns ``(y (N,), ld (N,))``.
+    """
+    y, ld = _dyn_fwd(x, uw_t, uh_t, ud_t, codes, bounds, inverse,
+                     min_bin_width, min_bin_height, min_derivative, interpret)
+    return y, ld
+
+
+def _dyn_cfg(uw_t, inverse, mbw, mbh, md):
+    return dict(num_bins=uw_t.shape[0], inverse=inverse, min_bin_width=mbw,
+                min_bin_height=mbh, min_derivative=md)
+
+
+def _dyn_fwd(x, uw_t, uh_t, ud_t, codes, bounds, inverse, mbw, mbh, md,
+             interpret):
+    sub = _pick_sub(x.shape[0])
+    cfg = _dyn_cfg(uw_t, inverse, mbw, mbh, md)
+    x_p, uw_p, uh_p, ud_p, c_p, b_p, n, pad = _dyn_pad(
+        x, uw_t, uh_t, ud_t, codes.astype(jnp.int32), bounds.astype(x.dtype),
+        sub)
+    y, ld = _pallas_fwd_flat(x_p, uw_p, uh_p, ud_p, c_p, b_p, cfg, interpret,
+                             sub)
+    if pad:
+        y, ld = y[:n], ld[:n]
+    return y, ld
+
+
+def _dyn_vjp_fwd(x, uw_t, uh_t, ud_t, codes, bounds, inverse, mbw, mbh, md,
+                 interpret):
+    out = _dyn_fwd(x, uw_t, uh_t, ud_t, codes, bounds, inverse, mbw, mbh, md,
+                   interpret)
+    return out, (x, uw_t, uh_t, ud_t, codes, bounds)
+
+
+def _dyn_vjp_bwd(inverse, mbw, mbh, md, interpret, res, cts):
+    x, uw_t, uh_t, ud_t, codes, bounds = res
+    ybar, lbar = cts
+    sub = _pick_sub(x.shape[0])
+    cfg = _dyn_cfg(uw_t, inverse, mbw, mbh, md)
+    x_p, uw_p, uh_p, ud_p, c_p, b_p, n, pad = _dyn_pad(
+        x, uw_t, uh_t, ud_t, codes.astype(jnp.int32), bounds.astype(x.dtype),
+        sub)
+    yb = jnp.asarray(ybar, x.dtype)
+    lb = jnp.asarray(lbar, x.dtype)
+    if pad:
+        yb = jnp.pad(yb, (0, pad))
+        lb = jnp.pad(lb, (0, pad))
+    xg, uwg, uhg, udg = _pallas_bwd_flat(
+        x_p, uw_p, uh_p, ud_p, c_p, b_p, yb, lb, cfg, interpret, sub)
+    if pad:
+        xg = xg[:n]
+        uwg, uhg, udg = uwg[:, :n], uhg[:, :n], udg[:, :n]
+    # codes (int) take a float0 tangent; bounds are treated as non-trained
+    # selection data (matching the static-tuple API where they are nondiff)
+    codes_g = np.zeros(codes.shape, jax.dtypes.float0)
+    return xg, uwg, uhg, udg, codes_g, jnp.zeros_like(bounds)
+
+
+unconstrained_rqs_pallas_dyncodes.defvjp(_dyn_vjp_fwd, _dyn_vjp_bwd)
+
+
 def _t_spec(planes, sub):
     return pl.BlockSpec((planes, sub, LANE), lambda i: (0, i, 0),
                         memory_space=pltpu.VMEM)

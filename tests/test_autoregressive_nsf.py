@@ -234,6 +234,91 @@ def test_constant_first_pass_gradients_exact():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+class TestSlicedInverseLargeD:
+    """At D > 8 the sequential inverse takes the SLICED path (per-step
+    final-layer + elementwise slicing, flows/affine/autoregressive.py
+    _inverse_sliced).  It must agree with the naive full-width recursion —
+    the reference semantics (autoregressive.py:29-38) — in values AND
+    gradients, at D=64 (round-4 review demand)."""
+
+    D = 64
+
+    def _naive_inverse(self, layer, x):
+        outputs = jnp.zeros_like(x)
+        for _ in range(x.shape[1]):
+            params = layer.autoregressive_net(outputs, None)
+            outputs, ld = layer._elementwise_inverse(x, params)
+        return outputs, ld
+
+    @pytest.mark.parametrize("permute_mask", [False, True])
+    def test_maf_values_match_naive(self, permute_mask):
+        layer = flows.MaskedAffineAutoregressive.create(
+            jax.random.key(3), features=self.D, hidden_features=48,
+            num_blocks=1, random_mask=False,
+        )
+        if permute_mask:
+            # permuted degrees via the NSF-style MADE constructor
+            from normflows_tpu.nets import MADE
+            made = MADE.create(
+                jax.random.key(3), features=self.D, hidden_features=48,
+                num_blocks=1, output_multiplier=2, permute_mask=True,
+                rng_seed=7)
+            layer = layer.replace(autoregressive_net=made)
+        x = jax.random.normal(jax.random.key(4), (33, self.D))
+        assert layer._sliced_inverse_ok(x, False)
+        z_naive, ld_naive = self._naive_inverse(layer, x)
+        z, ld = layer.inverse(x)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(z_naive),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ld), np.asarray(ld_naive),
+                                   atol=1e-4, rtol=1e-4)
+        # round-trip sanity
+        x2, ld_f = layer.forward(z)
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(x), atol=1e-4)
+
+    def test_rqs_values_match_naive(self):
+        layer = flows.AutoregressiveRationalQuadraticSpline.create(
+            jax.random.key(5), self.D, 1, 48, num_bins=6, permute_mask=True,
+            init_identity=False,
+        ).mprqat
+        x = jax.random.normal(jax.random.key(6), (33, self.D))
+        assert layer._sliced_inverse_ok(x, False)
+        z_naive, ld_naive = self._naive_inverse(layer, x)
+        z, ld = layer.inverse(x)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(z_naive),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ld), np.asarray(ld_naive),
+                                   atol=1e-4, rtol=1e-4)
+
+    def test_rqs_gradients_match_naive(self):
+        import normflows_tpu as nft
+
+        layer = flows.AutoregressiveRationalQuadraticSpline.create(
+            jax.random.key(7), 16, 1, 32, num_bins=4, permute_mask=True,
+            init_identity=False,
+        ).mprqat
+        x = jax.random.normal(jax.random.key(8), (17, 16))
+        diff, rest = nft.partition(layer)
+
+        def loss_sliced(d):
+            z, ld = nft.combine(d, rest).inverse(x)
+            return jnp.sum(z**2) + jnp.sum(ld)
+
+        def loss_naive(d):
+            lay = nft.combine(d, rest)
+            outputs = jnp.zeros_like(x)
+            for _ in range(16):
+                params = lay.autoregressive_net(outputs, None)
+                outputs, ld = lay._elementwise_inverse(x, params)
+            return jnp.sum(outputs**2) + jnp.sum(ld)
+
+        g_s = jax.grad(loss_sliced)(diff)
+        g_n = jax.grad(loss_naive)(diff)
+        for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_n)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-3)
+
+
 class TestDropoutThroughFlowAPI:
     """dropout_probability must be FUNCTIONAL through the flow API: passing
     a PRNG key to forward/inverse activates train-time dropout in the param

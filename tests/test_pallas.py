@@ -376,3 +376,60 @@ class TestTransposedSplinePipeline:
                          msg=f"D=3 {direction}")
             assert_close(ld_t, ld_ref, atol=5e-4, rtol=5e-4,
                          msg=f"D=3 {direction} ld")
+
+
+class TestDynCodesKernel:
+    """unconstrained_rqs_pallas_dyncodes: the flat kernel with TRACED
+    per-element codes/bounds (the sliced AR inverse's spline).  Must match
+    the jnp reference in values and grads (interpret mode on CPU)."""
+
+    def _inputs(self, N=640, K=6):
+        x = jax.random.uniform(jax.random.key(1), (N,), minval=-4, maxval=4)
+        uw = jax.random.normal(jax.random.key(2), (K, N)) * 0.3
+        uh = jax.random.normal(jax.random.key(3), (K, N)) * 0.3
+        ud = jax.random.normal(jax.random.key(4), (K + 1, N)) * 0.3
+        codes = jnp.where(jnp.arange(N) % 2 == 0, ref.TAIL_LINEAR,
+                          ref.TAIL_CIRCULAR).astype(jnp.int32)
+        bounds = jnp.where(jnp.arange(N) % 2 == 0, 4.0, float(np.pi))
+        return x, uw, uh, ud, codes, bounds
+
+    @pytest.mark.parametrize("inverse", [False, True])
+    def test_matches_jnp(self, inverse):
+        x, uw, uh, ud, codes, bounds = self._inputs()
+        y, ld = sp.unconstrained_rqs_pallas_dyncodes(
+            x, uw, uh, ud, codes, bounds, inverse, interpret=True)
+        y_ref, ld_ref = ref.unconstrained_rational_quadratic_spline(
+            x[:, None], uw.T[:, None, :], uh.T[:, None, :], ud.T[:, None, :],
+            inverse=inverse, tail_codes=codes[:, None],
+            tail_bound=bounds[:, None])
+        assert_close(y, y_ref[:, 0], atol=1e-5, rtol=1e-5)
+        assert_close(ld, ld_ref[:, 0], atol=1e-4, rtol=1e-4)
+
+    def test_grads_match_jnp(self):
+        x, uw, uh, ud, codes, bounds = self._inputs(N=256)
+
+        def loss_k(args):
+            x_, uw_, uh_, ud_ = args
+            y, ld = sp.unconstrained_rqs_pallas_dyncodes(
+                x_, uw_, uh_, ud_, codes, bounds, True, interpret=True)
+            return jnp.sum(y * jnp.arange(y.size)) + 2.0 * jnp.sum(ld)
+
+        def loss_ref(args):
+            x_, uw_, uh_, ud_ = args
+            y, ld = ref.unconstrained_rational_quadratic_spline(
+                x_[:, None], uw_.T[:, None, :], uh_.T[:, None, :],
+                ud_.T[:, None, :], inverse=True, tail_codes=codes[:, None],
+                tail_bound=bounds[:, None])
+            return jnp.sum(y[:, 0] * jnp.arange(y.shape[0])) + 2.0 * jnp.sum(ld)
+
+        g_k = jax.grad(loss_k)((x, uw, uh, ud))
+        g_r = jax.grad(loss_ref)((x, uw, uh, ud))
+        for a, b in zip(g_k, g_r):
+            assert_close(a, b, atol=1e-3, rtol=1e-3)
+
+    def test_nonaligned_padding(self):
+        x, uw, uh, ud, codes, bounds = self._inputs(N=333)
+        y, ld = sp.unconstrained_rqs_pallas_dyncodes(
+            x, uw, uh, ud, codes, bounds, False, interpret=True)
+        assert y.shape == (333,) and ld.shape == (333,)
+        assert bool(jnp.all(jnp.isfinite(y)))

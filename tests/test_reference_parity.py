@@ -33,7 +33,11 @@ RNG = np.random.default_rng(0)
 
 
 def t2j(x):
-    return jnp.asarray(x.detach().cpu().numpy())
+    # jnp.array with copy=True: jnp.asarray can alias the torch tensor's
+    # memory (zero-copy dlpack on CPU), so a reference-side IN-PLACE buffer
+    # mutation (e.g. power iteration's normalize(..., out=u)) would silently
+    # mutate the "copied" JAX state too.
+    return jnp.array(x.detach().cpu().numpy(), copy=True)
 
 
 def assert_close(a, b, atol=1e-5, rtol=1e-5, msg=""):
@@ -2026,3 +2030,42 @@ def test_induced_norm_general_p_matches_reference(domain, codomain):
     assert_close(ours2.v, ref_lin.v, atol=1e-4)
     assert_close(ours2(jnp.asarray(x)), ref_lin(torch.tensor(x)), atol=1e-5,
                  msg=f"forward after refresh p=({domain},{codomain})")
+
+
+@pytest.mark.parametrize("domain,codomain", [(2, 2), (1, 2),
+                                             (2, float("inf")), (1.5, 2.5)])
+def test_induced_norm_conv_general_p_matches_reference(domain, codomain):
+    """General fixed-p induced norms through the CONV power iteration
+    (reference _compute_weight_kxk + normalize helpers,
+    lipschitz.py:533-610, 659-689): copied weight/u/v state, matched
+    refresh, forward parity."""
+    torch.manual_seed(29)
+    H = W = 5
+    ref_conv = ref_nf.nets.lipschitz.InducedNormConv2d(
+        3, 4, kernel_size=3, stride=1, padding=1, coeff=0.9,
+        domain=domain, codomain=codomain, n_iterations=5)
+    # trigger the reference's lazy spatial init + u/v setup
+    x0 = torch.randn(2, 3, H, W)
+    with torch.no_grad():
+        ref_conv(x0)
+
+    from normflows_tpu.nets.lipschitz import InducedNormConv2d
+
+    ours = InducedNormConv2d.create(
+        jax.random.key(0), 3, 4, 3, (H, W), coeff=0.9,
+        domain=domain, codomain=codomain, n_iterations=5)
+    ours = ours.replace(
+        weight=t2j(ref_conv.weight), bias=t2j(ref_conv.bias),
+        u=t2j(ref_conv.u), v=t2j(ref_conv.v), scale=t2j(ref_conv.scale))
+
+    x = RNG.normal(size=(2, 3, H, W)).astype(np.float32)
+    assert_close(ours(jnp.asarray(x)), ref_conv(torch.tensor(x)), atol=1e-5,
+                 msg=f"conv forward p=({domain},{codomain})")
+
+    # deterministic refresh from identical u/v
+    ref_conv.compute_weight(update=True, n_iterations=8)
+    ours2 = ours.update_power_iteration(n_iterations=8)
+    assert_close(ours2.u, ref_conv.u, atol=1e-4)
+    assert_close(ours2.v, ref_conv.v, atol=1e-4)
+    assert_close(ours2(jnp.asarray(x)), ref_conv(torch.tensor(x)), atol=1e-5,
+                 msg=f"conv forward after refresh p=({domain},{codomain})")

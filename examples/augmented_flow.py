@@ -20,6 +20,7 @@ import optax
 import normflows_tpu as nf
 from normflows_tpu import flows, distributions
 from normflows_tpu.nets import MLP
+from normflows_tpu.utils import enable_compilation_cache
 
 
 def build_model(K=32, latent_size=4, key=None):
@@ -45,6 +46,9 @@ def build_model(K=32, latent_size=4, key=None):
 
 
 def main():
+    # persistent XLA compilation cache: first-compile cost is
+    # paid once per config (docs/performance.md "Compile time")
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--num-samples", type=int, default=1024)

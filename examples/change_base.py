@@ -19,6 +19,7 @@ import optax
 import normflows_tpu as nf
 from normflows_tpu import flows, distributions
 from normflows_tpu.nets import MLP
+from normflows_tpu.utils import enable_compilation_cache
 
 
 def build_flows(num_layers=32, key=None):
@@ -57,6 +58,9 @@ def train(model, iters, seed=0):
 
 
 def main():
+    # persistent XLA compilation cache: first-compile cost is
+    # paid once per config (docs/performance.md "Compile time")
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2000)
     args = ap.parse_args()

@@ -22,6 +22,7 @@ import optax
 
 import normflows_tpu as nf
 from normflows_tpu import flows, distributions
+from normflows_tpu.utils import enable_compilation_cache
 
 
 def sample_target(key, n):
@@ -54,6 +55,9 @@ def build_model(key, k_layers=20, hidden=128):
 
 
 def main(argv=None):
+    # persistent XLA compilation cache: first-compile cost is
+    # paid once per config (docs/performance.md "Compile time")
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20000)
     ap.add_argument("--k", type=int, default=20)

@@ -18,6 +18,7 @@ import optax
 
 import normflows_tpu as nf
 from normflows_tpu import flows, distributions
+from normflows_tpu.utils import enable_compilation_cache
 
 
 def build_model(K=4, hidden=128, context_size=4, key=None):
@@ -43,6 +44,9 @@ def sample_context(key, batch):
 
 
 def main():
+    # persistent XLA compilation cache: first-compile cost is
+    # paid once per config (docs/performance.md "Compile time")
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=5000)
     ap.add_argument("--batch", type=int, default=128)

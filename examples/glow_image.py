@@ -21,6 +21,7 @@ import optax
 import normflows_tpu as nf
 from normflows_tpu import flows, distributions
 from normflows_tpu.utils import preprocessing
+from normflows_tpu.utils import enable_compilation_cache
 
 
 def build_glow(L, K, hidden, input_shape=(3, 32, 32), num_classes=10, key=None):
@@ -72,6 +73,9 @@ def synthetic_images(key, n, shape=(3, 32, 32), num_classes=10):
 
 
 def main():
+    # persistent XLA compilation cache: first-compile cost is
+    # paid once per config (docs/performance.md "Compile time")
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=1000)
     ap.add_argument("--L", type=int, default=3)

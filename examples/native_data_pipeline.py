@@ -22,6 +22,7 @@ import optax
 import normflows_tpu as nf
 from normflows_tpu import flows, distributions
 from normflows_tpu.data import NativeImageLoader, prefetch_to_device
+from normflows_tpu.utils import enable_compilation_cache
 
 
 def build_model(shape=(3, 8, 8), num_classes=10, key=None):
@@ -50,6 +51,9 @@ def build_model(shape=(3, 8, 8), num_classes=10, key=None):
 
 
 def main():
+    # persistent XLA compilation cache: first-compile cost is
+    # paid once per config (docs/performance.md "Compile time")
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--batch", type=int, default=256)

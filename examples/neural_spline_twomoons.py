@@ -16,6 +16,7 @@ import optax
 
 import normflows_tpu as nf
 from normflows_tpu import flows, distributions
+from normflows_tpu.utils import enable_compilation_cache
 
 
 def build_model(K=16, hidden=128, key=None):
@@ -31,6 +32,9 @@ def build_model(K=16, hidden=128, key=None):
 
 
 def main():
+    # persistent XLA compilation cache: first-compile cost is
+    # paid once per config (docs/performance.md "Compile time")
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=512)

@@ -15,6 +15,7 @@ import optax
 
 import normflows_tpu as nf
 from normflows_tpu import flows, distributions
+from normflows_tpu.utils import enable_compilation_cache
 
 
 def build_model(K=12, hidden=512, num_bins=10):
@@ -32,6 +33,9 @@ def build_model(K=12, hidden=512, num_bins=10):
 
 
 def main():
+    # persistent XLA compilation cache: first-compile cost is
+    # paid once per config (docs/performance.md "Compile time")
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10000)
     ap.add_argument("--num-samples", type=int, default=2**14)

@@ -18,6 +18,7 @@ import optax
 
 import normflows_tpu as nf
 from normflows_tpu import flows, distributions, parallel
+from normflows_tpu.utils import enable_compilation_cache
 
 
 def build_model(K=4, hidden=64):
@@ -41,6 +42,9 @@ def single_device_loss(model, batch):
 
 
 def main():
+    # persistent XLA compilation cache: first-compile cost is
+    # paid once per config (docs/performance.md "Compile time")
+    enable_compilation_cache()
     model = build_model()
     opt = optax.adam(1e-3)
     batch = model.p.sample(jax.random.key(1), 64)

@@ -25,11 +25,15 @@ import optax
 import normflows_tpu as nf
 from normflows_tpu import distributions
 from normflows_tpu.nets import MLP
+from normflows_tpu.utils import enable_compilation_cache
 
 from vae_flow import synthetic_digits
 
 
 def main(argv=None):
+    # persistent XLA compilation cache: first-compile cost is
+    # paid once per config (docs/performance.md "Compile time")
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--latent", type=int, default=40)

@@ -16,6 +16,7 @@ import optax
 import normflows_tpu as nf
 from normflows_tpu import flows, distributions
 from normflows_tpu.nets import MLP
+from normflows_tpu.utils import enable_compilation_cache
 
 
 class PriorTarget(nf.Module):
@@ -52,6 +53,9 @@ def build(kind, K, key):
 
 
 def main():
+    # persistent XLA compilation cache: first-compile cost is
+    # paid once per config (docs/performance.md "Compile time")
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=2000)
     ap.add_argument("--k", type=int, default=16)

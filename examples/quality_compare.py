@@ -525,6 +525,8 @@ def vae_ours(x, epochs):
 
 
 def main():
+    from normflows_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()  # persistent XLA cache (docs/performance.md)
     ap = argparse.ArgumentParser()
     ap.add_argument("task", choices=["glow", "residual", "vae"])
     ap.add_argument("--iters", type=int, default=None)

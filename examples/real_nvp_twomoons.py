@@ -15,6 +15,7 @@ import optax
 import normflows_tpu as nf
 from normflows_tpu import flows, distributions
 from normflows_tpu.nets import MLP
+from normflows_tpu.utils import enable_compilation_cache
 
 
 def build_model(K, key):
@@ -32,6 +33,9 @@ def build_model(K, key):
 
 
 def main():
+    # persistent XLA compilation cache: first-compile cost is
+    # paid once per config (docs/performance.md "Compile time")
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=4000)
     ap.add_argument("--k", type=int, default=32)

@@ -17,6 +17,7 @@ import normflows_tpu as nf
 from normflows_tpu import flows, distributions
 from normflows_tpu.nets import LipschitzMLP
 from normflows_tpu.utils import update_lipschitz
+from normflows_tpu.utils import enable_compilation_cache
 
 
 def make_moons(key, n, noise=0.1):
@@ -34,6 +35,9 @@ def make_moons(key, n, noise=0.1):
 
 
 def main():
+    # persistent XLA compilation cache: first-compile cost is
+    # paid once per config (docs/performance.md "Compile time")
+    enable_compilation_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=20000)
     ap.add_argument("--k", type=int, default=16)

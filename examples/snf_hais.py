@@ -19,9 +19,13 @@ import normflows_tpu as nf
 from normflows_tpu import flows, distributions, parallel
 from normflows_tpu.nets import MLP
 from normflows_tpu.sampling import HAIS
+from normflows_tpu.utils import enable_compilation_cache
 
 
 def main():
+    # persistent XLA compilation cache: first-compile cost is
+    # paid once per config (docs/performance.md "Compile time")
+    enable_compilation_cache()
     target = distributions.TwoMoons()
 
     # --- SNF: couple deterministic + MCMC layers --------------------------

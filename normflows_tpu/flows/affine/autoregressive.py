@@ -81,7 +81,7 @@ class Autoregressive(Flow):
         net = self.autoregressive_net
         B, F = inputs.shape
         mult = net.final_layer.weight.shape[1] // F
-        order_arr = jnp.asarray(np.asarray(net.input_order), jnp.int32)
+        order_arr = net.input_order
         x_t = inputs.T  # single relayout in; batch stays on lanes throughout
 
         def body(t, carry):

@@ -243,10 +243,12 @@ class MADE(Module):
     preprocessing: Optional[Module]
     hidden_features: int = static_field(default=0)
     # feature positions sorted by autoregressive degree (argsort of the
-    # possibly-permuted input degrees) — static so the sliced sequential
-    # inverse can order its recursion at trace time (see
-    # flows/affine/autoregressive.py _inverse_sliced)
-    input_order: Optional[tuple] = static_field(default=None)
+    # possibly-permuted input degrees); the sliced sequential inverse
+    # (flows/affine/autoregressive.py _inverse_sliced) indexes it with the
+    # traced recursion step.  A BUFFER (not static): per-layer permutations
+    # differ, and a static field would break the pytree homogeneity that
+    # ScanChain / pipeline-parallel layer stacking require.
+    input_order: Optional[jnp.ndarray] = buffer_field(default=None)
 
     @classmethod
     def create(
@@ -312,8 +314,8 @@ class MADE(Module):
             final_layer=final,
             preprocessing=preprocessing,
             hidden_features=hidden_features,
-            input_order=tuple(
-                int(i) for i in np.argsort(input_degrees_, kind="stable")
+            input_order=jnp.asarray(
+                np.argsort(input_degrees_, kind="stable"), jnp.int32
             ),
         )
 

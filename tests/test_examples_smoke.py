@@ -25,6 +25,7 @@ CASES = {
     "change_base.py": ["--iters", "2"],
     "circular_nsf.py": ["--iters", "2", "--k", "2", "--hidden", "16",
                         "--batch", "64"],
+    "compile_time_report.py": ["--tiny", "--only", "flagship"],
     "conditional_flow.py": ["--iters", "2", "--batch", "32"],
     "data_parallel_training.py": ["--iters", "2", "--k", "2",
                                   "--global-batch", "64"],

@@ -32,6 +32,7 @@ CASES = {
     "flagship_backward_probe.py": ["--tiny"],
     "flagship_decomposition.py": ["--tiny"],
     "glow_batch_sweep.py": ["--tiny", "--iters", "2"],
+    "glow_backward_probe.py": ["--tiny"],
     "glow_decomposition.py": ["--tiny"],
     "glow_image.py": ["--iters", "2", "--L", "2", "--K", "2",
                       "--hidden", "16", "--batch", "16"],

@@ -128,6 +128,45 @@ def main():
             report(f"{name}_{'fwd' if direction == 'forward' else 'inv'}",
                    t, note=note)
 
+    # ---- conditional sampling pass (round 5): cached context projections --
+    # The context is constant across the D recursion passes, so the sliced
+    # inverse projects it once (nets/made.py context_cache_t); the naive
+    # recursion re-projects it in every one of the D MADE passes.  Context
+    # varies along the scan carry (CLAUDE.md loop-invariant-hoisting trap).
+    C_CTX = 8
+    rqs_ctx = flows.AutoregressiveRationalQuadraticSpline.create(
+        jax.random.key(7), D, 1, H, num_context_channels=C_CTX, num_bins=K,
+        permute_mask=True).mprqat
+    if args.bf16:
+        rqs_ctx = nf.utils.set_compute_dtype(rqs_ctx, "bfloat16")
+    ctx0 = jax.random.normal(jax.random.key(8), (B, C_CTX))
+
+    def ctx_body(c):
+        x, ctx, acc = c
+        y, ld = rqs_ctx.inverse(x, ctx)
+        return (jnp.clip(y, -3.0, 3.0), jnp.roll(ctx, 1, axis=0),
+                acc + jnp.mean(ld))
+
+    report("rqs_inv_ctx",
+           scan_time(ctx_body, (x0, ctx0, jnp.float32(0)),
+                     args.long, args.short),
+           note="conditional sampling pass, sliced + cached ctx projections")
+    from normflows_tpu.flows.affine.autoregressive import (
+        Autoregressive as _ARBase,
+    )
+
+    real_gate = _ARBase._sliced_inverse_ok
+    try:
+        _ARBase._sliced_inverse_ok = (
+            lambda self, inputs, dropout_on, context=None: False)
+        report("rqs_inv_ctx_naive",
+               scan_time(ctx_body, (x0, ctx0, jnp.float32(0)),
+                         args.long, args.short),
+               note="conditional sampling pass, naive D-pass recursion"
+                    " (sliced gate forced off)")
+    finally:
+        _ARBase._sliced_inverse_ok = real_gate
+
     # ---- one MADE pass alone ---------------------------------------------
     made = rqs.autoregressive_net
 

@@ -53,7 +53,7 @@ class Autoregressive(Flow):
             x_row.T, params_rows.T, dim_idx)
         return y_col.T, ld
 
-    def _sliced_inverse_ok(self, inputs, dropout_on):
+    def _sliced_inverse_ok(self, inputs, dropout_on, context=None):
         """Gate for the sliced sequential inverse: at recursion step t only
         the feature of degree t+1 becomes final, so only that feature's
         elementwise transform (and parameter slice) is computed — the
@@ -64,7 +64,8 @@ class Autoregressive(Flow):
         relayouts the whole array every pass (measured 1.7x SLOWER than the
         naive recursion at D=64; docs/performance.md "Large-D
         autoregressive").  Exact: each feature's final value depends only on
-        already-final features."""
+        already-final features.  Conditional models are covered via the
+        per-pass-constant context cache (nets/made.py context_cache_t)."""
         net = self.autoregressive_net
         return (
             inputs.ndim == 2
@@ -73,6 +74,7 @@ class Autoregressive(Flow):
             and hasattr(net, "supports_t")
             and net.supports_t()
             and hasattr(net, "apply_t")
+            and (context is None or hasattr(net, "context_cache_t"))
             and type(self)._elementwise_inverse_single
             is not Autoregressive._elementwise_inverse_single
         )
@@ -83,6 +85,9 @@ class Autoregressive(Flow):
         mult = net.final_layer.weight.shape[1] // F
         order_arr = net.input_order
         x_t = inputs.T  # single relayout in; batch stays on lanes throughout
+        # context is constant across the D passes: project it ONCE
+        ctx_cache = (net.context_cache_t(context)
+                     if context is not None else None)
 
         def body(t, carry):
             out_t, ld = carry
@@ -90,7 +95,10 @@ class Autoregressive(Flow):
             # (slicing the final layer's weight per step measured SLOWER —
             # the full matmul is MXU-bound while per-step weight gathers
             # serialize; see docs/performance.md)
-            params_t = net.apply_t(out_t)  # (F*mult, B)
+            # positional cache only when present: custom nets may implement
+            # the single-argument apply_t signature
+            params_t = (net.apply_t(out_t, ctx_cache) if ctx_cache is not None
+                        else net.apply_t(out_t))  # (F*mult, B)
             p = order_arr[t]
             rows = jax.lax.dynamic_slice_in_dim(params_t, p * mult, mult, 0)
             x_row = jax.lax.dynamic_slice_in_dim(x_t, p, 1, 0)  # (1, B)
@@ -106,7 +114,8 @@ class Autoregressive(Flow):
     def inverse(self, inputs, context=None, *, key=None):
         num_inputs = int(np.prod(inputs.shape[1:]))
         dropout_on = _dropout_active(self.autoregressive_net, key)
-        if num_inputs > 8 and self._sliced_inverse_ok(inputs, dropout_on):
+        if num_inputs > 8 and self._sliced_inverse_ok(inputs, dropout_on,
+                                                      context):
             return self._inverse_sliced(inputs, context)
 
         def body(i, carry):

@@ -235,7 +235,8 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
         return (
             backend.use_pallas()
             and not self.constrained
-            and context is None
+            and (context is None
+                 or hasattr(self.autoregressive_net, "context_cache_t"))
             and inputs.ndim == 2
             and inputs.dtype == jnp.float32
             # symbolic batch dims (jax.export shape polymorphism) take the
@@ -267,24 +268,34 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
     def forward(self, inputs, context=None, *, key=None):
         if not self._transposed_ok(inputs, context, key):
             return super().forward(inputs, context, key=key)
+        net = self.autoregressive_net
         x_t = inputs.T
-        params_t = self.autoregressive_net.apply_t(x_t)
+        cache = net.context_cache_t(context) if context is not None else None
+        params_t = net.apply_t(x_t, cache) if cache is not None else net.apply_t(x_t)
         y_t, ld_t = self._spline_t(x_t, params_t, inverse=False)
         return y_t.T, jnp.sum(ld_t, axis=0)
 
     def inverse(self, inputs, context=None, *, key=None):
         if not self._transposed_ok(inputs, context, key):
             return super().inverse(inputs, context, key=key)
+        net = self.autoregressive_net
         x_t = inputs.T
         F, B = x_t.shape
-        # pass 1 via the batch-1 trick (see Autoregressive.inverse): the
-        # degree-1 slots of MADE(0) are batch-constant, so one column
-        # broadcast over the batch is exact, gradients included
-        p1 = self.autoregressive_net.apply_t(jnp.zeros((F, 1), x_t.dtype))
-        params_t = jnp.broadcast_to(p1, (p1.shape[0], B))
+        cache = net.context_cache_t(context) if context is not None else None
+        if cache is None:
+            # pass 1 via the batch-1 trick (see Autoregressive.inverse): the
+            # degree-1 slots of MADE(0) are batch-constant, so one column
+            # broadcast over the batch is exact, gradients included
+            p1 = net.apply_t(jnp.zeros((F, 1), x_t.dtype))
+            params_t = jnp.broadcast_to(p1, (p1.shape[0], B))
+        else:
+            # conditional: the context varies per batch element, so the
+            # degree-1 slots are NOT batch-constant — full-width pass 1
+            params_t = net.apply_t(jnp.zeros_like(x_t), cache)
         out_t, ld_t = self._spline_t(x_t, params_t, inverse=True)
         for _ in range(1, F):
-            params_t = self.autoregressive_net.apply_t(out_t)
+            params_t = (net.apply_t(out_t, cache) if cache is not None
+                        else net.apply_t(out_t))
             out_t, ld_t = self._spline_t(x_t, params_t, inverse=True)
         return out_t.T, jnp.sum(ld_t, axis=0)
 

@@ -162,7 +162,9 @@ class MaskedFeedforwardBlock(Module):
         return _dropout(_act(self.activation, self.linear(x)),
                         self.dropout_probability, key, train)
 
-    def apply_t(self, x_t):
+    def apply_t(self, x_t, gate_t=None):
+        # gate_t accepted for interface uniformity; feedforward blocks have
+        # no context injection (matching the reference, made.py:84-137)
         return _act(self.activation, self.linear.apply_t(x_t))
 
 
@@ -224,12 +226,18 @@ class MaskedResidualBlock(Module):
             temps = temps * gate.astype(temps.dtype)
         return x + temps
 
-    def apply_t(self, x_t):
-        """Transposed residual block (context-free; callers gate on that)."""
+    def apply_t(self, x_t, gate_t=None):
+        """Transposed residual block.  ``gate_t`` is the precomputed (H, B)
+        GLU context gate (sigmoid of the context projection, transposed) —
+        the context is constant across the sequential-inverse recursion, so
+        callers compute it once via :meth:`MADE.context_cache_t` instead of
+        re-projecting per pass."""
         temps = _act(self.activation, x_t)
         temps = self.linear_0.apply_t(temps)
         temps = _act(self.activation, temps)
         temps = self.linear_1.apply_t(temps)
+        if gate_t is not None:
+            temps = temps * gate_t.astype(temps.dtype)
         return x_t + temps
 
 
@@ -337,23 +345,47 @@ class MADE(Module):
         return self.final_layer(out).astype(x.dtype)
 
     def supports_t(self) -> bool:
-        """Whether the transposed fast path applies (context-free, blocks
-        with apply_t, preprocessing transposable)."""
-        if self.context_layer is not None:
-            return False
+        """Whether the transposed fast path applies (blocks with apply_t,
+        preprocessing transposable).  Context is supported: its projections
+        are constant across recursion passes and enter via
+        :meth:`context_cache_t`."""
         if self.preprocessing is not None and not hasattr(
                 self.preprocessing, "apply_t"):
             return False
         return all(hasattr(b, "apply_t") for b in self.blocks)
 
-    def apply_t(self, x_t):
+    def context_cache_t(self, context):
+        """Precompute the transposed context terms for :meth:`apply_t`.
+
+        The sequential AR inverse calls the net D times with the SAME
+        context (reference autoregressive.py:29-38 recomputes the context
+        projections every pass); here the initial-layer additive term and
+        each residual block's GLU gate (made.py:258-276 semantics) are
+        projected once — (H, B), batch on lanes — and reused in every pass.
+        Returns None when there is nothing to cache."""
+        if context is None or self.context_layer is None:
+            return None
+        init_t = self.context_layer(context).T
+        gates = tuple(
+            jax.nn.sigmoid(b.context_layer(context)).T
+            if getattr(b, "context_layer", None) is not None else None
+            for b in self.blocks
+        )
+        return (init_t, gates)
+
+    def apply_t(self, x_t, ctx_cache=None):
         """Transposed-layout forward: (F, B) -> (P, B), batch on the minor
         axis throughout — zero relayouts between the MADE matmuls and the
         planar spline kernel (the (B, S) <-> (S, B) transposes this avoids
-        measured ~30 us each at flagship shapes; see docs/performance.md)."""
+        measured ~30 us each at flagship shapes; see docs/performance.md).
+        ``ctx_cache`` is the output of :meth:`context_cache_t`."""
         out = (self.preprocessing.apply_t(x_t)
                if self.preprocessing is not None else x_t)
         out = self.initial_layer.apply_t(out)
-        for block in self.blocks:
-            out = block.apply_t(out)
+        if ctx_cache is not None:
+            out = out + ctx_cache[0].astype(out.dtype)
+        gates = (ctx_cache[1] if ctx_cache is not None
+                 else (None,) * len(self.blocks))
+        for block, gate_t in zip(self.blocks, gates):
+            out = block.apply_t(out, gate_t)
         return self.final_layer.apply_t(out).astype(x_t.dtype)

@@ -318,6 +318,75 @@ class TestSlicedInverseLargeD:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-3)
 
+    def test_conditional_rqs_matches_naive(self):
+        """Conditional large-D models take the sliced path too (round 5):
+        the context projections are constant across the D passes and enter
+        via the precomputed cache (nets/made.py context_cache_t).  Values,
+        log-dets, and gradients (incl. the context projections') must match
+        the naive recursion with the SAME context."""
+        import normflows_tpu as nft
+
+        D = 16
+        layer = flows.AutoregressiveRationalQuadraticSpline.create(
+            jax.random.key(9), D, 2, 32, num_context_channels=3, num_bins=4,
+            permute_mask=True, init_identity=False,
+        ).mprqat
+        x = jax.random.normal(jax.random.key(10), (17, D))
+        ctx = jax.random.normal(jax.random.key(11), (17, 3))
+        assert layer._sliced_inverse_ok(x, False, ctx)
+
+        def naive(lay):
+            outputs = jnp.zeros_like(x)
+            for _ in range(D):
+                params = lay.autoregressive_net(outputs, ctx)
+                outputs, ld = lay._elementwise_inverse(x, params)
+            return outputs, ld
+
+        z_naive, ld_naive = naive(layer)
+        z, ld = layer.inverse(x, ctx)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(z_naive),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ld), np.asarray(ld_naive),
+                                   atol=1e-4, rtol=1e-4)
+        # context must influence the result (guard against a cache that
+        # silently drops it)
+        z0, _ = layer.inverse(x, 0 * ctx)
+        assert float(jnp.max(jnp.abs(z0 - z))) > 1e-4
+
+        diff, rest = nft.partition(layer)
+
+        def loss_sliced(d):
+            z, ld = nft.combine(d, rest).inverse(x, ctx)
+            return jnp.sum(z**2) + jnp.sum(ld)
+
+        def loss_naive(d):
+            z, ld = naive(nft.combine(d, rest))
+            return jnp.sum(z**2) + jnp.sum(ld)
+
+        g_s = jax.grad(loss_sliced)(diff)
+        g_n = jax.grad(loss_naive)(diff)
+        for a, b in zip(jax.tree.leaves(g_s), jax.tree.leaves(g_n)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, rtol=1e-3)
+
+    def test_conditional_maf_matches_naive(self):
+        layer = flows.MaskedAffineAutoregressive.create(
+            jax.random.key(12), features=self.D, hidden_features=48,
+            context_features=4, num_blocks=1,
+        )
+        x = jax.random.normal(jax.random.key(13), (9, self.D))
+        ctx = jax.random.normal(jax.random.key(14), (9, 4))
+        assert layer._sliced_inverse_ok(x, False, ctx)
+        outputs = jnp.zeros_like(x)
+        for _ in range(self.D):
+            params = layer.autoregressive_net(outputs, ctx)
+            outputs, ld_naive = layer._elementwise_inverse(x, params)
+        z, ld = layer.inverse(x, ctx)
+        np.testing.assert_allclose(np.asarray(z), np.asarray(outputs),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ld), np.asarray(ld_naive),
+                                   atol=1e-4, rtol=1e-4)
+
 
 class TestDropoutThroughFlowAPI:
     """dropout_probability must be FUNCTIONAL through the flow API: passing

@@ -348,13 +348,35 @@ class TestTransposedSplinePipeline:
         x = jax.random.normal(jax.random.key(1), (64, 2))
         assert not inner._transposed_ok(x, None)  # below the 1024 gate
 
-    def test_context_input_falls_back(self):
-        """A conditional call must route to the general path even with the
-        pallas backend forced — the transposed pipeline is context-free."""
-        inner = self._layer()
-        x = jax.random.normal(jax.random.key(1), (2048, 2))
-        ctx = jax.random.normal(jax.random.key(2), (2048, 3))
-        assert not inner._transposed_ok(x, ctx)
+    @pytest.mark.parametrize("direction", ["forward", "inverse"])
+    def test_conditional_transposed_matches_jnp_path(self, direction):
+        """Conditional models take the transposed pipeline too (round 5):
+        the context is constant across recursion passes, so its projections
+        enter as a precomputed cache (nets/made.py context_cache_t).  Both
+        directions must match the jnp general path with the SAME context."""
+        from normflows_tpu import flows
+
+        inner = flows.AutoregressiveRationalQuadraticSpline.create(
+            jax.random.key(11), 2, 1, 64, num_context_channels=3, num_bins=8,
+            permute_mask=True, init_identity=False,
+        ).mprqat
+        x = jax.random.normal(jax.random.key(1), (1024, 2)) * 2.0
+        ctx = jax.random.normal(jax.random.key(2), (1024, 3))
+        y_ref, ld_ref = self._with_backend(
+            "xla", False, lambda: getattr(inner, direction)(x, ctx))
+
+        def run():
+            assert inner._transposed_ok(x, ctx)
+            return getattr(inner, direction)(x, ctx)
+
+        y_t, ld_t = self._with_backend("pallas", True, run)
+        assert_close(y_t, y_ref, atol=5e-5, rtol=5e-5)
+        assert_close(ld_t, ld_ref, atol=5e-4, rtol=5e-4)
+        # the context must actually matter (guard against a silently
+        # context-dropping fast path)
+        y0, _ = self._with_backend(
+            "pallas", True, lambda: getattr(inner, direction)(x, 0 * ctx))
+        assert float(jnp.max(jnp.abs(y0 - y_t))) > 1e-4
 
     def test_three_feature_transposed_inverse_matches(self):
         """D=3 engages the multi-pass loop after the batch-1 first pass

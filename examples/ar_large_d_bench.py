@@ -224,13 +224,19 @@ def main():
         updates, opt_state = opt.update(grads, opt_state, diff)
         return optax.apply_updates(diff, updates), opt_state, loss
 
+    # NB: cost_analysis counts each fori_loop body ONCE (the scan-counting
+    # pitfall, docs/performance.md "Benchmark methodology"), and this step's
+    # sampling direction is a D-iteration recursion per layer — so the flops
+    # figure (and mfu) here is a ~D-fold UNDERCOUNT, kept only as a lower
+    # bound; the honest utilization story is the per-probe attribution above.
     f_train = flops_of(train_single, diff, opt_state, jax.random.key(1))
     t_train = report(
         "rqs_train",
         scan_time(train_body, (diff, opt_state, jax.random.key(0)),
                   args.long, args.short),
         f_train,
-        f"{args.layers}-layer AR-RQS + LULinearPermute reverse-KLD step")
+        f"{args.layers}-layer AR-RQS + LULinearPermute reverse-KLD step"
+        " (flops/mfu = loop-body-once lower bound)")
 
     # ---- matmul ceiling at MADE shapes -------------------------------------
     a0 = jax.random.normal(jax.random.key(5), (B, H), jnp.bfloat16)

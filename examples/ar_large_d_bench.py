@@ -238,6 +238,31 @@ def main():
         f"{args.layers}-layer AR-RQS + LULinearPermute reverse-KLD step"
         " (flops/mfu = loop-body-once lower bound)")
 
+    # ---- forward-KLD (density-estimation) train step: the MAF regime -------
+    # The reference's primary large-D AR workload (MAF/NSF density
+    # estimation on tabular data) trains via forward KLD: ONE MADE pass per
+    # layer (no sequential recursion), so the step is dense-matmul-bound and
+    # its flops count is loop-free (trustworthy, unlike rqs_train's).
+    xb0 = jax.random.normal(jax.random.key(9), (B, D))
+
+    def fkld_single(diff, opt_state, x):
+        loss, grads = jax.value_and_grad(
+            lambda d: nf.combine(d, rest).forward_kld(x))(diff)
+        updates, opt_state = opt.update(grads, opt_state, diff)
+        return optax.apply_updates(diff, updates), opt_state, loss
+
+    def fkld_body(c):
+        diff, opt_state, x = c
+        diff, opt_state, loss = fkld_single(diff, opt_state, x)
+        return diff, opt_state, x * (1.0 + 1e-9 * loss)
+
+    f_fkld = flops_of(fkld_single, diff, opt_state, xb0)
+    report("rqs_train_fkld",
+           scan_time(fkld_body, (diff, opt_state, xb0),
+                     args.long, args.short),
+           f_fkld,
+           f"{args.layers}-layer AR-RQS forward-KLD (density) step")
+
     # ---- matmul ceiling at MADE shapes -------------------------------------
     a0 = jax.random.normal(jax.random.key(5), (B, H), jnp.bfloat16)
     w0 = jax.random.normal(jax.random.key(6), (H, H), jnp.bfloat16)
@@ -264,6 +289,8 @@ def main():
         "serialization_overhead_ms": round(
             t.get("identity_spline_inv", 0) - D * t.get("made_fwd", 0), 3),
         "train_samples_per_sec": round(B / (t.get("rqs_train", 1) * 1e-3), 0),
+        "train_fkld_samples_per_sec": round(
+            B / (t.get("rqs_train_fkld", 1) * 1e-3), 0),
     }}))
 
 

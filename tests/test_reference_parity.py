@@ -882,7 +882,7 @@ def test_flagship_model_log_prob_matches_reference():
     )
     assert_close(
         float(our_model.forward_kld(jnp.asarray(x))),
-        float(ref_model.forward_kld(torch.tensor(x))),
+        float(ref_model.forward_kld(torch.tensor(x)).detach()),
         atol=5e-4, rtol=5e-4,
     )
 

@@ -73,7 +73,9 @@ def main():
     ap.add_argument("--layers", type=int, default=4)
     ap.add_argument("--long", type=int, default=20)
     ap.add_argument("--short", type=int, default=4)
-    ap.add_argument("--bf16", action="store_true", default=True)
+    ap.add_argument("--bf16", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="bf16 MADE matmuls (default on; --no-bf16 for f32)")
     ap.add_argument("--tiny", action="store_true",
                     help="smoke-test config (D=8, tiny nets, 2-step scans)")
     args = ap.parse_args()

@@ -10,7 +10,6 @@ Run:  python examples/glow_image.py [--iters 1000] [--L 3 --K 16 --hidden 256]
 """
 
 import argparse
-import sys
 import time
 
 import numpy as np
@@ -81,8 +80,10 @@ def main():
     ap.add_argument("--L", type=int, default=3)
     ap.add_argument("--K", type=int, default=16)
     ap.add_argument("--hidden", type=int, default=256)
-    ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="training batch size (default 128)")
+    ap.add_argument("--lr", type=float, default=None,
+                    help="Adam learning rate (default 1e-3)")
     ap.add_argument("--data-npz", type=str, default=None)
     ap.add_argument("--bf16", action="store_true",
                     help="run coupling-net convs in bfloat16 on the MXU (~4x)")
@@ -99,8 +100,11 @@ def main():
     args = ap.parse_args()
     if args.large_batch_recipe:
         # The recipe pins batch/lr/bf16 — refuse silently-ignored overrides.
-        argv = set(sys.argv[1:])
-        clashes = [f for f in ("--batch", "--lr") if f in argv]
+        # None-sentinel defaults (not raw argv scanning) so every spelling is
+        # caught: '--batch=512', prefix abbreviations, and explicit values
+        # that happen to equal the plain default.
+        clashes = [f for f, given in (("--batch", args.batch),
+                                      ("--lr", args.lr)) if given is not None]
         if clashes:
             ap.error(
                 f"--large-batch-recipe fixes {', '.join(clashes)} "
@@ -109,6 +113,10 @@ def main():
             )
         args.batch = 512
         args.bf16 = True
+    if args.batch is None:
+        args.batch = 128
+    if args.lr is None:
+        args.lr = 1e-3
 
     if args.data_npz:
         data = np.load(args.data_npz)

@@ -265,38 +265,66 @@ def load_params_like(model, path: str):
     Mirrors the reference ``load_state_dict`` key checking (core.py:211-213):
     the checkpoint's pytree *structure* must match the model's exactly —
     equal leaf counts alone are not enough (two different architectures can
-    coincidentally agree on leaf count and would load into garbage)."""
+    coincidentally agree on leaf count and would load into garbage) — and so
+    must every leaf's shape and dtype (same class with different widths
+    shares a treedef; torch's load_state_dict errors on size mismatch
+    too)."""
     with open(path, "rb") as f:
         data = pickle.load(f)
     leaves, treedef = jax.tree.flatten(model)
     saved_treedef = data["treedef"]
     if treedef != saved_treedef:
-        # Name the first mismatching path for the error message.
-        model_paths = [
-            jax.tree_util.keystr(p)
-            for p, _ in jax.tree_util.tree_flatten_with_path(model)[0]
-        ]
-        saved = jax.tree.unflatten(saved_treedef, data["leaves"])
-        saved_paths = [
-            jax.tree_util.keystr(p)
-            for p, _ in jax.tree_util.tree_flatten_with_path(saved)[0]
-        ]
+        # Name the first mismatching path for the error message.  The saved
+        # treedef may not be reconstructable under CURRENT class definitions
+        # (e.g. a field was added to a Module since the checkpoint was
+        # written) — any failure here must not mask the structural error.
         detail = ""
-        for i, (mp, sp) in enumerate(zip(model_paths, saved_paths)):
-            if mp != sp:
-                detail = f"; first mismatching leaf path: model has {mp!r}, checkpoint has {sp!r} (leaf {i})"
-                break
-        else:
-            if len(model_paths) != len(saved_paths):
-                detail = (
-                    f"; model has {len(model_paths)} leaves, checkpoint has "
-                    f"{len(saved_paths)}"
-                )
+        try:
+            model_paths = [
+                jax.tree_util.keystr(p)
+                for p, _ in jax.tree_util.tree_flatten_with_path(model)[0]
+            ]
+            saved = jax.tree.unflatten(saved_treedef, data["leaves"])
+            saved_paths = [
+                jax.tree_util.keystr(p)
+                for p, _ in jax.tree_util.tree_flatten_with_path(saved)[0]
+            ]
+            for i, (mp, sp) in enumerate(zip(model_paths, saved_paths)):
+                if mp != sp:
+                    detail = f"; first mismatching leaf path: model has {mp!r}, checkpoint has {sp!r} (leaf {i})"
+                    break
             else:
-                detail = "; same leaf paths but different static structure (treedef mismatch)"
+                if len(model_paths) != len(saved_paths):
+                    detail = (
+                        f"; model has {len(model_paths)} leaves, checkpoint has "
+                        f"{len(saved_paths)}"
+                    )
+                else:
+                    detail = "; same leaf paths but different static structure (treedef mismatch)"
+        except Exception as e:  # diagnostic only — never mask the real error
+            detail = (
+                "; additionally the checkpoint's structure could not be"
+                f" rebuilt under current class definitions ({type(e).__name__})"
+                " — it was likely saved by an older version of the model class"
+            )
         raise ValueError(
             f"checkpoint at {path} does not match model structure{detail}"
         )
+    for i, (p_leaf, saved_leaf) in enumerate(
+        zip(jax.tree_util.tree_flatten_with_path(model)[0], data["leaves"])
+    ):
+        kp, leaf = p_leaf
+        saved_arr = np.asarray(saved_leaf)
+        if tuple(getattr(leaf, "shape", ())) != tuple(saved_arr.shape) or (
+            jnp.dtype(getattr(leaf, "dtype", saved_arr.dtype))
+            != jnp.dtype(saved_arr.dtype)
+        ):
+            raise ValueError(
+                f"checkpoint at {path} leaf {jax.tree_util.keystr(kp)!r}"
+                f" (leaf {i}) has shape {saved_arr.shape} dtype"
+                f" {saved_arr.dtype}, model expects"
+                f" {getattr(leaf, 'shape', ())} {getattr(leaf, 'dtype', '?')}"
+            )
     return jax.tree.unflatten(treedef, [jnp.asarray(l) for l in data["leaves"]])
 
 

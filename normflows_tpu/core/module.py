@@ -107,11 +107,14 @@ def trainable_filter(tree) -> Any:
 
     def rec(x, in_buffer):
         if isinstance(x, Module):
-            # A Module may declare a static field ``trainable``; when False,
-            # all its array leaves (recursively) are treated as buffers —
-            # the functional analogue of the reference registering loc/scale
-            # as fixed buffers for ``trainable=False`` (base.py:62-72).
-            frozen = not getattr(x, "trainable", True)
+            # A Module may declare a static field ``trainable``; when it is
+            # the literal bool False, all its array leaves (recursively) are
+            # treated as buffers — the functional analogue of the reference
+            # registering loc/scale as fixed buffers for ``trainable=False``
+            # (base.py:62-72).  Only a bool engages the convention: a user
+            # Module with an unrelated (e.g. array-valued) field named
+            # ``trainable`` must neither crash nor silently freeze.
+            frozen = getattr(x, "trainable", True) is False
             obj = object.__new__(type(x))
             for f in dataclasses.fields(x):
                 val = getattr(x, f.name)

@@ -69,6 +69,9 @@ class Autoregressive(Flow):
         net = self.autoregressive_net
         return (
             inputs.ndim == 2
+            # symbolic batch dims (jax.export shape polymorphism) take the
+            # general path — the dyncodes kernel needs a concrete grid
+            and isinstance(inputs.shape[0], int)
             and not dropout_on
             and getattr(net, "input_order", None) is not None
             and hasattr(net, "supports_t")
@@ -155,6 +158,13 @@ class Autoregressive(Flow):
         return outputs, logabsdet
 
 
+def _constrain_scale(unconstrained):
+    """MAF scale parameterization, sigmoid(s + 2) + 1e-3
+    (autoregressive.py:84-88) — the single source shared by the batched,
+    sliced-column, and sliced-row inverse paths so it cannot drift."""
+    return jax.nn.sigmoid(unconstrained + 2.0) + 1e-3
+
+
 class MaskedAffineAutoregressive(Autoregressive):
     """MAF layer (autoregressive.py:50-128); scale = sigmoid(s + 2) + 1e-3."""
 
@@ -193,9 +203,8 @@ class MaskedAffineAutoregressive(Autoregressive):
 
     def _scale_shift(self, params):
         params = params.reshape(-1, self.features, 2)
-        unconstrained_scale = params[..., 0]
         shift = params[..., 1]
-        scale = jax.nn.sigmoid(unconstrained_scale + 2.0) + 1e-3
+        scale = _constrain_scale(params[..., 0])
         return scale, shift
 
     def _elementwise_forward(self, inputs, params):
@@ -211,12 +220,12 @@ class MaskedAffineAutoregressive(Autoregressive):
     def _elementwise_inverse_single(self, x_col, params, dim_idx):
         # params (B, 2): [unconstrained_scale, shift] — the mult=2 slice of
         # the (B, F, 2) layout _scale_shift reshapes
-        scale = jax.nn.sigmoid(params[:, :1] + 2.0) + 1e-3
+        scale = _constrain_scale(params[:, :1])
         shift = params[:, 1:]
         return (x_col - shift) / scale, -jnp.log(scale[:, 0])
 
     def _elementwise_inverse_row(self, x_row, params_rows, dim_idx):
         # planar form, no transposes: params_rows (2, B)
-        scale = jax.nn.sigmoid(params_rows[0:1] + 2.0) + 1e-3
+        scale = _constrain_scale(params_rows[0:1])
         shift = params_rows[1:2]
         return (x_row - shift) / scale, -jnp.log(scale[0])

@@ -244,6 +244,32 @@ def test_load_params_like_rejects_structure_mismatch(tmp_path):
         load_params_like(radial, path)
 
 
+def test_load_params_like_rejects_shape_mismatch(tmp_path):
+    """Same class with different widths shares a treedef (widths are not
+    static fields) — the per-leaf shape check must refuse to load, naming
+    the offending leaf, instead of silently loading garbage (torch
+    load_state_dict errors on size mismatch too)."""
+    import pytest
+    import normflows_tpu as nf
+    from normflows_tpu import flows, distributions
+    from normflows_tpu.nets import MLP
+    from normflows_tpu.core.facades import load_params_like
+
+    def make(width):
+        s = MLP.create(jax.random.key(1), [2, width, 2], init_zeros=True)
+        t = MLP.create(jax.random.key(2), [2, width, 2], init_zeros=True)
+        layer = flows.MaskedAffineFlow.create(jnp.array([1.0, 0.0]), t=t, s=s)
+        return nf.NormalizingFlow.create(
+            distributions.DiagGaussian.create(2), [layer])
+
+    wide, narrow = make(64), make(16)
+    path = str(tmp_path / "wide.pkl")
+    wide.save(path)
+    assert (jax.tree.flatten(wide)[1] == jax.tree.flatten(narrow)[1])
+    with pytest.raises(ValueError, match="shape"):
+        load_params_like(narrow, path)
+
+
 def test_gaussian_mixture_trainable_flag():
     """GaussianMixture.create(trainable=False) must exclude loc/scale/weights
     from the differentiable partition (reference registers them as fixed
@@ -261,3 +287,21 @@ def test_gaussian_mixture_trainable_flag():
     d_frozen = D.DiagGaussian.create(2, trainable=False)
     diff_d, _ = nf.partition(d_frozen)
     assert len([l for l in jax.tree.leaves(diff_d) if l is not None]) == 0
+
+
+def test_trainable_convention_scoped_to_bool():
+    """The magic ``trainable`` field only engages the freeze convention when
+    it is the literal bool False — a user Module with an unrelated
+    (array-valued) field of that name must neither crash partition nor
+    silently freeze (round-5 review hardening)."""
+    import normflows_tpu as nf
+    from normflows_tpu.core.module import Module
+
+    class WithArrayField(Module):
+        w: jnp.ndarray
+        trainable: jnp.ndarray  # per-leaf flags, NOT the freeze convention
+
+    m = WithArrayField(w=jnp.ones(3), trainable=jnp.array([1.0, 0.0]))
+    diff, _ = nf.partition(m)
+    live = [l for l in jax.tree.leaves(diff) if l is not None]
+    assert len(live) == 2  # both arrays stay trainable leaves

@@ -198,3 +198,32 @@ def test_symbolic_batch_export_with_pallas_backend_enabled():
                                     batch_size=5)
     np.testing.assert_allclose(np.asarray(exp_c.call(x)), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_symbolic_batch_export_large_d_sliced_inverse():
+    """The D>8 sliced sequential inverse must gate OFF for symbolic (jax.
+    export) batch dims — its dyncodes Pallas kernel needs a concrete grid —
+    and route to the general recursion (round-5 review regression: the gate
+    lacked the isinstance(batch, int) check its sibling fast paths have).
+    The recursion is hit through log_prob when the inner AR transform is
+    used directly as a flow (its ``inverse`` is the D-pass recursion)."""
+    import numpy as np
+    import normflows_tpu as nf
+    from normflows_tpu import flows, distributions, serving
+    from normflows_tpu.ops import backend
+
+    D = 12
+    inner = flows.AutoregressiveRationalQuadraticSpline.create(
+        jax.random.key(0), D, 1, 16, num_bins=4, permute_mask=True,
+    ).mprqat
+    model = nf.NormalizingFlow.create(
+        distributions.DiagGaussian.create(D), [inner])
+    x = jax.random.normal(jax.random.key(1), (7, D))
+    ref = model.log_prob(x)
+    backend.set_kernel_backend("pallas")
+    try:
+        exp = serving.export_log_prob(model, (D,), symbolic_batch=True)
+    finally:
+        backend.set_kernel_backend("auto")
+    np.testing.assert_allclose(np.asarray(exp.call(x)), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)

@@ -42,6 +42,21 @@ from normflows_tpu.utils.profiling import chip_peak_flops, executable_cost
 from flagship_decomposition import scan_time, flops_of
 
 
+def robust_scan_time(body, carry, long, short):
+    """scan_time, re-measured with amplified lengths for tiny probes.
+
+    The long/short differencing's noise floor is the tunnel-RTT jitter over
+    (long - short) iterations; for sub-0.1-ms probes (made_fwd, the bf16
+    matmul chain) that jitter can exceed the differenced work and even
+    produce NEGATIVE estimates (observed in one session: made_fwd
+    -0.007 ms).  When the differenced work is under ~8 ms, re-time with
+    10x/2x lengths — same quantity, ~10x the signal."""
+    t = scan_time(body, carry, long, short)
+    if t * (long - short) < 8e-3:
+        t = scan_time(body, carry, 10 * long, 2 * short)
+    return t
+
+
 def build_stack(D, hidden, num_bins, K_layers, kind="rqs"):
     layers = []
     for i in range(K_layers):
@@ -123,7 +138,7 @@ def main():
 
     for name, layer in (("maf", maf), ("rqs", rqs)):
         for direction in ("forward", "inverse"):
-            t = scan_time(layer_body(layer, direction),
+            t = robust_scan_time(layer_body(layer, direction),
                           (x0, jnp.float32(0)), args.long, args.short)
             note = ("1 MADE pass" if direction == "forward"
                     else f"1 + {D - 1} sequential MADE passes")
@@ -150,7 +165,7 @@ def main():
                 acc + jnp.mean(ld))
 
     report("rqs_inv_ctx",
-           scan_time(ctx_body, (x0, ctx0, jnp.float32(0)),
+           robust_scan_time(ctx_body, (x0, ctx0, jnp.float32(0)),
                      args.long, args.short),
            note="conditional sampling pass, sliced + cached ctx projections")
     from normflows_tpu.flows.affine.autoregressive import (
@@ -162,7 +177,7 @@ def main():
         _ARBase._sliced_inverse_ok = (
             lambda self, inputs, dropout_on, context=None: False)
         report("rqs_inv_ctx_naive",
-               scan_time(ctx_body, (x0, ctx0, jnp.float32(0)),
+               robust_scan_time(ctx_body, (x0, ctx0, jnp.float32(0)),
                          args.long, args.short),
                note="conditional sampling pass, naive D-pass recursion"
                     " (sliced gate forced off)")
@@ -179,7 +194,7 @@ def main():
 
     f_made = flops_of(lambda x: jnp.mean(made(x)), x0)
     t_made = report("made_fwd",
-                    scan_time(made_body, (x0, jnp.float32(0)),
+                    robust_scan_time(made_body, (x0, jnp.float32(0)),
                               args.long, args.short),
                     f_made, f"B={B} D={D} H={H} mult={3 * K + 1}")
 
@@ -198,7 +213,7 @@ def main():
         MP._elementwise = ident
         t_ident = report(
             "identity_spline_inv",
-            scan_time(layer_body(rqs, "inverse"), (x0, jnp.float32(0)),
+            robust_scan_time(layer_body(rqs, "inverse"), (x0, jnp.float32(0)),
                       args.long, args.short),
             note="rqs_inv with spline -> identity (isolates MADE recursion)")
     finally:
@@ -234,7 +249,7 @@ def main():
     f_train = flops_of(train_single, diff, opt_state, jax.random.key(1))
     t_train = report(
         "rqs_train",
-        scan_time(train_body, (diff, opt_state, jax.random.key(0)),
+        robust_scan_time(train_body, (diff, opt_state, jax.random.key(0)),
                   args.long, args.short),
         f_train,
         f"{args.layers}-layer AR-RQS + LULinearPermute reverse-KLD step"
@@ -260,7 +275,7 @@ def main():
 
     f_fkld = flops_of(fkld_single, diff, opt_state, xb0)
     report("rqs_train_fkld",
-           scan_time(fkld_body, (diff, opt_state, xb0),
+           robust_scan_time(fkld_body, (diff, opt_state, xb0),
                      args.long, args.short),
            f_fkld,
            f"{args.layers}-layer AR-RQS forward-KLD (density) step")
@@ -275,7 +290,7 @@ def main():
             a = (a @ w0) * 1e-2
         return a, acc + jnp.float32(jnp.sum(a[0, :1]))
 
-    t_mm = scan_time(mm_body, (a0, jnp.float32(0)), args.long, args.short)
+    t_mm = robust_scan_time(mm_body, (a0, jnp.float32(0)), args.long, args.short)
     report("matmul_ceiling", t_mm, float(8 * 2 * B * H * H),
            f"8 dense bf16 ({B}x{H})@({H}x{H})")
 

@@ -92,13 +92,19 @@ def main():
                     default=True,
                     help="bf16 MADE matmuls (default on; --no-bf16 for f32)")
     ap.add_argument("--tiny", action="store_true",
-                    help="smoke-test config (D=8, tiny nets, 2-step scans)")
+                    help="smoke-test config (D=9, tiny nets, 2-step scans;"
+                         " D stays above the sliced-inverse gate so the"
+                         " sliced-vs-naive ctx probes measure DIFFERENT"
+                         " paths even in smoke runs)")
     args = ap.parse_args()
     enable_compilation_cache()
     if args.tiny:
-        args.d, args.hidden, args.bins = 8, 32, 4
+        args.d, args.hidden, args.bins = 9, 32, 4
         args.batch, args.layers = 256, 2
         args.long, args.short = 2, 1
+        # f32 on the CPU smoke path: the sliced inverse's transposed bf16
+        # dot hits an unimplemented XLA-CPU DotThunk (BF16 x BF16 = F32)
+        args.bf16 = False
 
     D, H, B, K = args.d, args.hidden, args.batch, args.bins
     peak = chip_peak_flops()

@@ -266,9 +266,10 @@ def load_params_like(model, path: str):
     the checkpoint's pytree *structure* must match the model's exactly —
     equal leaf counts alone are not enough (two different architectures can
     coincidentally agree on leaf count and would load into garbage) — and so
-    must every leaf's shape and dtype (same class with different widths
-    shares a treedef; torch's load_state_dict errors on size mismatch
-    too)."""
+    must every leaf's SHAPE (same class with different widths shares a
+    treedef; torch's load_state_dict errors on size mismatch too).  Dtypes
+    are converted, not checked, matching torch's ``copy_`` semantics — a
+    float64 checkpoint loads into a float32 model."""
     with open(path, "rb") as f:
         data = pickle.load(f)
     leaves, treedef = jax.tree.flatten(model)
@@ -315,15 +316,11 @@ def load_params_like(model, path: str):
     ):
         kp, leaf = p_leaf
         saved_arr = np.asarray(saved_leaf)
-        if tuple(getattr(leaf, "shape", ())) != tuple(saved_arr.shape) or (
-            jnp.dtype(getattr(leaf, "dtype", saved_arr.dtype))
-            != jnp.dtype(saved_arr.dtype)
-        ):
+        if tuple(getattr(leaf, "shape", ())) != tuple(saved_arr.shape):
             raise ValueError(
                 f"checkpoint at {path} leaf {jax.tree_util.keystr(kp)!r}"
-                f" (leaf {i}) has shape {saved_arr.shape} dtype"
-                f" {saved_arr.dtype}, model expects"
-                f" {getattr(leaf, 'shape', ())} {getattr(leaf, 'dtype', '?')}"
+                f" (leaf {i}) has shape {saved_arr.shape}, model expects"
+                f" {getattr(leaf, 'shape', ())}"
             )
     return jax.tree.unflatten(treedef, [jnp.asarray(l) for l in data["leaves"]])
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Any
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -111,10 +112,12 @@ def trainable_filter(tree) -> Any:
             # the literal bool False, all its array leaves (recursively) are
             # treated as buffers — the functional analogue of the reference
             # registering loc/scale as fixed buffers for ``trainable=False``
-            # (base.py:62-72).  Only a bool engages the convention: a user
-            # Module with an unrelated (e.g. array-valued) field named
+            # (base.py:62-72).  Only a scalar bool engages the convention
+            # (python or numpy bool — config files produce np.False_): a
+            # user Module with an unrelated (e.g. array-valued) field named
             # ``trainable`` must neither crash nor silently freeze.
-            frozen = getattr(x, "trainable", True) is False
+            t = getattr(x, "trainable", True)
+            frozen = isinstance(t, (bool, np.bool_)) and not t
             obj = object.__new__(type(x))
             for f in dataclasses.fields(x):
                 val = getattr(x, f.name)

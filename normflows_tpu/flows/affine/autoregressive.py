@@ -18,6 +18,12 @@ from ...nets.made import MADE
 from ...utils.nn import net_dropout_active as _dropout_active
 
 
+def _apply_t(net, x_t, ctx_cache):
+    """Transposed net pass, threading the context cache only when present:
+    custom nets may implement the single-argument ``apply_t`` signature."""
+    return net.apply_t(x_t, ctx_cache) if ctx_cache is not None else net.apply_t(x_t)
+
+
 class Autoregressive(Flow):
     """Elementwise transform with autoregressive parameters (autoregressive.py:10-47)."""
 
@@ -98,10 +104,7 @@ class Autoregressive(Flow):
             # (slicing the final layer's weight per step measured SLOWER —
             # the full matmul is MXU-bound while per-step weight gathers
             # serialize; see docs/performance.md)
-            # positional cache only when present: custom nets may implement
-            # the single-argument apply_t signature
-            params_t = (net.apply_t(out_t, ctx_cache) if ctx_cache is not None
-                        else net.apply_t(out_t))  # (F*mult, B)
+            params_t = _apply_t(net, out_t, ctx_cache)  # (F*mult, B)
             p = order_arr[t]
             rows = jax.lax.dynamic_slice_in_dim(params_t, p * mult, mult, 0)
             x_row = jax.lax.dynamic_slice_in_dim(x_t, p, 1, 0)  # (1, B)

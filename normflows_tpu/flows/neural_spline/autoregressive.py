@@ -271,7 +271,7 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
         net = self.autoregressive_net
         x_t = inputs.T
         cache = net.context_cache_t(context) if context is not None else None
-        params_t = net.apply_t(x_t, cache) if cache is not None else net.apply_t(x_t)
+        params_t = ar_base._apply_t(net, x_t, cache)
         y_t, ld_t = self._spline_t(x_t, params_t, inverse=False)
         return y_t.T, jnp.sum(ld_t, axis=0)
 
@@ -294,8 +294,7 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
             params_t = net.apply_t(jnp.zeros_like(x_t), cache)
         out_t, ld_t = self._spline_t(x_t, params_t, inverse=True)
         for _ in range(1, F):
-            params_t = (net.apply_t(out_t, cache) if cache is not None
-                        else net.apply_t(out_t))
+            params_t = ar_base._apply_t(net, out_t, cache)
             out_t, ld_t = self._spline_t(x_t, params_t, inverse=True)
         return out_t.T, jnp.sum(ld_t, axis=0)
 

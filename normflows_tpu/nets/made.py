@@ -365,6 +365,11 @@ class MADE(Module):
         Returns None when there is nothing to cache."""
         if context is None or self.context_layer is None:
             return None
+        # An unbatched 1-D context broadcasts over the batch in the general
+        # path (Linear (C,) -> (H,), added over (B, H)); transposed that
+        # must become an (H, 1) column or the (H, B) + (H,) add broadcasts
+        # along the WRONG axis (silently, when B == H).
+        context = jnp.atleast_2d(context)
         init_t = self.context_layer(context).T
         gates = tuple(
             jax.nn.sigmoid(b.context_layer(context)).T

@@ -369,6 +369,31 @@ class TestSlicedInverseLargeD:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-4, rtol=1e-3)
 
+    def test_conditional_unbatched_context_matches_naive(self):
+        """A 1-D (unbatched) context broadcasts over the batch in the
+        general path; the cached transposed paths must match — including
+        the treacherous B == hidden_features shape, where a transposed
+        (H, B) + (H,) add broadcasts along the WRONG axis without erroring
+        (round-5 review regression: measured max|diff| 1.62 before the
+        atleast_2d fix)."""
+        H = 32
+        layer = flows.MaskedAffineAutoregressive.create(
+            jax.random.key(20), features=12, hidden_features=H,
+            context_features=4, num_blocks=1,
+        )
+        ctx1d = jax.random.normal(jax.random.key(21), (4,))
+        for B in (5, H):  # H==B is the silent-corruption shape
+            x = jax.random.normal(jax.random.key(22), (B, 12))
+            outputs = jnp.zeros_like(x)
+            for _ in range(12):
+                params = layer.autoregressive_net(outputs, ctx1d)
+                outputs, ld_naive = layer._elementwise_inverse(x, params)
+            z, ld = layer.inverse(x, ctx1d)
+            np.testing.assert_allclose(np.asarray(z), np.asarray(outputs),
+                                       atol=1e-5, rtol=1e-5)
+            np.testing.assert_allclose(np.asarray(ld), np.asarray(ld_naive),
+                                       atol=1e-4, rtol=1e-4)
+
     def test_conditional_maf_matches_naive(self):
         layer = flows.MaskedAffineAutoregressive.create(
             jax.random.key(12), features=self.D, hidden_features=48,

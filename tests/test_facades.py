@@ -305,3 +305,35 @@ def test_trainable_convention_scoped_to_bool():
     diff, _ = nf.partition(m)
     live = [l for l in jax.tree.leaves(diff) if l is not None]
     assert len(live) == 2  # both arrays stay trainable leaves
+
+    # numpy bools must engage the convention like python bools (config
+    # pipelines produce np.False_; an identity `is False` check would
+    # silently train parameters the user froze)
+    import numpy as onp
+    frozen_np = D.DiagGaussian.create(2, trainable=onp.False_)
+    diff_np, _ = nf.partition(frozen_np)
+    assert len([l for l in jax.tree.leaves(diff_np) if l is not None]) == 0
+
+
+def test_load_params_like_converts_dtype(tmp_path):
+    """Dtype differences convert on load (torch copy_ semantics) — only
+    SHAPE mismatches are errors; a float64-saved checkpoint loads into a
+    float32 model."""
+    import pickle
+    import normflows_tpu as nf
+    from normflows_tpu import flows, distributions
+    from normflows_tpu.core.facades import load_params_like
+
+    model = nf.NormalizingFlow.create(
+        distributions.DiagGaussian.create(2), [flows.Planar.create((2,))])
+    path = str(tmp_path / "m.pkl")
+    model.save(path)
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    data["leaves"] = [np.asarray(l, np.float64) for l in data["leaves"]]
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+    restored = load_params_like(model, path)
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(model)):
+        assert a.dtype == b.dtype
+        assert_close(a, b)

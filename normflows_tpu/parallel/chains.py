@@ -13,14 +13,15 @@ from functools import partial
 from typing import Callable
 
 import jax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
-from .mesh import replicate
+from .mesh import replicate, shard_batch, batch_sharding
 
 
 def shard_chains(z, mesh: Mesh, axis: str = "data"):
-    """Shard the chain (leading) axis of a state tensor across the mesh."""
-    return jax.device_put(z, NamedSharding(mesh, P(axis, *([None] * (z.ndim - 1)))))
+    """Shard the chain (leading) axis of a state tensor across the mesh
+    (the chain axis IS a batch axis — same placement as mesh.shard_batch)."""
+    return shard_batch(z, mesh, axis)
 
 
 def parallel_chain_sample(
@@ -37,16 +38,14 @@ def parallel_chain_sample(
     Returns ``run(key) -> (samples, log_weights)``.
     """
     sampler = replicate(sampler, mesh)
-    out_shard = NamedSharding(mesh, P(axis))
 
     @partial(jax.jit, static_argnums=())
     def run(key):
         samples, log_w = sampler.sample(key, num_samples)
         samples = jax.lax.with_sharding_constraint(
-            samples,
-            NamedSharding(mesh, P(axis, *([None] * (samples.ndim - 1)))),
-        )
-        log_w = jax.lax.with_sharding_constraint(log_w, out_shard)
+            samples, batch_sharding(mesh, samples.ndim, axis))
+        log_w = jax.lax.with_sharding_constraint(
+            log_w, batch_sharding(mesh, 1, axis))
         return samples, log_w
 
     return run

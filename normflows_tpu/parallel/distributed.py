@@ -55,5 +55,16 @@ def process_local_batch(global_batch_size: int) -> int:
 
 
 def local_device_batch(global_batch_size: int) -> int:
-    """Per-device batch size on this host."""
-    return process_local_batch(global_batch_size) // jax.local_device_count()
+    """Per-device batch size on this host.
+
+    Raises on indivisibility like :func:`process_local_batch` — silent
+    flooring would make the hosts collectively assemble fewer samples than
+    the sharded batch the train step expects, failing far from the cause."""
+    per_process = process_local_batch(global_batch_size)
+    d = jax.local_device_count()
+    if per_process % d != 0:
+        raise ValueError(
+            f"per-process batch {per_process} not divisible by {d} local"
+            " devices"
+        )
+    return per_process // d

@@ -74,18 +74,34 @@ def _make_pipeline_raw(
         if batch % M != 0:
             raise ValueError(f"batch {batch} not divisible by {M} microbatches")
         mb = batch // M
+        # A per-sample context (leading dim == batch) must ride the schedule
+        # with its microbatch: the microbatch AT stage s on tick t is t - s,
+        # so each stage indexes that row block; an unbatched/shared context
+        # passes through whole.  (Closing the full context over the body
+        # would pair a (mb, ...) activation with (batch, ...) context rows.)
+        per_sample = (
+            context is not None
+            and getattr(context, "ndim", 0) >= 1
+            and context.shape[0] == batch
+        )
+        ctx_args = (context,) if context is not None else ()
 
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P(stage_axis), P()),
+            in_specs=(P(stage_axis), P()) + (P(),) * len(ctx_args),
             out_specs=(P(), P()),
             check_vma=False,
         )
-        def run(params, z):
+        def run(params, z, *ctx_arg):
+            ctx_full = ctx_arg[0] if ctx_arg else None
             params = jax.tree.map(lambda x: x[0], params)  # (per_stage, ...)
             stage = jax.lax.axis_index(stage_axis)
             micro = z.reshape(M, mb, *z.shape[1:])
+            micro_ctx = (
+                ctx_full.reshape(M, mb, *ctx_full.shape[1:])
+                if per_sample else None
+            )
 
             def tick(carry, t):
                 cur, ld, outs, lds = carry
@@ -94,13 +110,19 @@ def _make_pipeline_raw(
                 first = stage == 0
                 cur = jnp.where(first, inj, cur)
                 ld = jnp.where(first, jnp.zeros_like(ld), ld)
+                if micro_ctx is not None:
+                    ctx_t = jax.lax.dynamic_index_in_dim(
+                        micro_ctx, jnp.clip(t - stage, 0, M - 1),
+                        keepdims=False)
+                else:
+                    ctx_t = ctx_full
 
                 def body(c, layer):
                     zz, l = c
                     if reverse:
-                        zz, dl = layer.inverse(zz, context)
+                        zz, dl = layer.inverse(zz, ctx_t)
                     else:
-                        zz, dl = layer.forward(zz, context)
+                        zz, dl = layer.forward(zz, ctx_t)
                     return (zz, l + dl.astype(l.dtype)), None
 
                 (cur, ld), _ = jax.lax.scan(body, (cur, ld), params)
@@ -131,7 +153,7 @@ def _make_pipeline_raw(
             lds = jax.lax.psum(lds, stage_axis)
             return outs.reshape(batch, *z.shape[1:]), lds.reshape(batch)
 
-        return run(stacked, z)
+        return run(stacked, z, *ctx_args)
 
     return run_pipeline
 

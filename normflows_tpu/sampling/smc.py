@@ -72,16 +72,27 @@ class AnnealedSMC(Module):
                ess_threshold: float = 0.5):
         if betas is None:
             betas = np.linspace(0.0, 1.0, num_temps)
+        betas = tuple(float(b) for b in betas)
+        # sample() initializes log_w = 0 and discards the proposal log_q,
+        # which is exact ONLY for the documented beta_0 = 0 / beta_M = 1
+        # endpoints (gamma_0 = q, so the initial weights are uniform);
+        # any other ladder would silently bias every weight and log_z.
+        if betas[0] != 0.0 or betas[-1] != 1.0:
+            raise ValueError(
+                f"betas must run 0.0 -> 1.0, got {betas[0]} -> {betas[-1]}"
+            )
         return cls(
-            proposal=proposal, target=target,
-            betas=tuple(float(b) for b in betas),
+            proposal=proposal, target=target, betas=betas,
             num_leapfrog=num_leapfrog, step_size=step_size,
             ess_threshold=ess_threshold,
         )
 
     def _log_gamma(self, z, beta):
-        """Tempered density: (1-beta) log q_proposal + beta log p_target."""
-        return (1.0 - beta) * self.proposal.log_prob(z) + beta * self.target.log_prob(z)
+        """Tempered density gamma_beta — single source: _Tempered.log_prob
+        (also the HMC move target, so reweighting and moves cannot drift)."""
+        return _Tempered(
+            proposal=self.proposal, target=self.target, beta=beta
+        ).log_prob(z)
 
     def sample(self, key, num_particles: int):
         """Run SMC; returns (particles, log_w, log_z_estimate)."""

@@ -72,7 +72,13 @@ def export_sampler(
             jax.jit(sample), platforms=_platforms(platforms))(seed_spec, y_spec)
 
     def sample(seed):
-        return model.sample_and_log_prob(jax.random.key(seed), num_samples)
+        key = jax.random.key(seed)
+        if hasattr(model, "sample_and_log_prob"):
+            return model.sample_and_log_prob(key, num_samples)
+        # MultiscaleFlow/ClassCondFlow expose the same (x, log_q) pair
+        # directly through sample() (core/facades.py) — unconditional
+        # multiscale (Glow) models must export too
+        return model.sample(key, num_samples)
 
     return jax_export.export(
         jax.jit(sample), platforms=_platforms(platforms))(seed_spec)

@@ -31,16 +31,21 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     loss_fn: Callable,
     update_lipschitz_iters: Optional[int] = None,
+    donate: bool = False,
 ):
     """Build (state, step_fn).
 
     ``loss_fn(model, batch, key) -> scalar``.  ``step_fn(state, batch, key)``
-    returns (state, metrics).  Non-finite losses are skipped — the parameter
-    update is masked out, mirroring the reference notebooks' ``~(isnan|isinf)``
-    loss-skip idiom (e.g. examples/glow.ipynb train cell).
+    returns (state, metrics).  Non-finite losses are skipped — the whole
+    optimizer step (updates AND optimizer-state advance) is masked out,
+    mirroring the reference notebooks' ``~(isnan|isinf)`` loss-skip idiom
+    (e.g. examples/glow.ipynb train cell).
 
     If ``update_lipschitz_iters`` is set, power iteration runs on every
     induced-norm layer after the update (examples/residual.ipynb pattern).
+    ``donate=True`` donates the state buffers to the step (no per-step copy
+    of params + optimizer moments in HBM, like the parallel factories);
+    leave False if you need the previous state after calling step_fn.
     """
     diff, rest = partition(model)
     state = TrainState(diff, rest, optimizer.init(diff), jnp.zeros((), jnp.int32))
@@ -51,10 +56,22 @@ def make_train_step(
 
         loss, grads = jax.value_and_grad(_loss)(state.diff)
         finite = jnp.isfinite(loss)
-        grads = jax.tree.map(
-            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
-        )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.diff)
+        # Skip the WHOLE optimizer step on a non-finite loss: masking only
+        # the gradients is not enough under momentum optimizers (Adam's
+        # updates = -lr*m_hat/... is nonzero even for zero grads, and the
+        # moments/count would still advance) — mask the applied updates AND
+        # keep the previous optimizer state, like the reference notebooks'
+        # `if not (isnan | isinf): loss.backward(); optimizer.step()` idiom
+        # (examples/glow.ipynb train cell).
+        updates = jax.tree.map(
+            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates
+        )
+        opt_state = jax.tree.map(
+            lambda new, old: jnp.where(finite, new, old)
+            if isinstance(new, jax.Array) else new,
+            opt_state, state.opt_state,
+        )
         diff = optax.apply_updates(state.diff, updates)
         rest = state.rest
         if update_lipschitz_iters is not None:
@@ -67,7 +84,7 @@ def make_train_step(
         metrics = {"loss": loss, "finite": finite}
         return new_state, metrics
 
-    return state, jax.jit(step_fn)
+    return state, jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 def make_chunked_train_step(

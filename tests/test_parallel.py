@@ -409,3 +409,32 @@ def test_pallas_spline_path_partitions_without_allgather():
                                atol=1e-5, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(ld_sh), np.asarray(ld_ref),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_local_device_batch_rejects_indivisible():
+    """local_device_batch must raise on indivisibility like its sibling
+    process_local_batch — silent flooring would make hosts collectively
+    assemble fewer samples than the sharded batch expects (round-5 review)."""
+    import pytest
+    from normflows_tpu import parallel
+
+    d = jax.local_device_count()  # 8 virtual devices under conftest
+    assert parallel.local_device_batch(4 * d) == 4
+    with pytest.raises(ValueError, match="not divisible"):
+        parallel.local_device_batch(d + 1)
+
+
+def test_save_checkpoint_step_versioning(tmp_path):
+    """save_checkpoint(step=N) writes versioned checkpoints: two saves with
+    different steps must both be restorable (round-5 review: step was
+    silently ignored and the second save destroyed the first)."""
+    from normflows_tpu.training import save_checkpoint, restore_checkpoint
+
+    tree = {"w": jnp.arange(4.0)}
+    base = str(tmp_path / "ck")
+    save_checkpoint(base, tree, step=100)
+    save_checkpoint(base, {"w": jnp.arange(4.0) * 2}, step=200)
+    r100 = restore_checkpoint(base, tree, step=100)
+    r200 = restore_checkpoint(base, tree, step=200)
+    np.testing.assert_allclose(np.asarray(r100["w"]), np.arange(4.0))
+    np.testing.assert_allclose(np.asarray(r200["w"]), np.arange(4.0) * 2)

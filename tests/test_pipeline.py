@@ -88,6 +88,35 @@ class TestPipeline:
         for a, b in zip(jax.tree.leaves(gp), jax.tree.leaves(gs)):
             np.testing.assert_allclose(a, b, atol=1e-4)
 
+    def test_per_sample_context_matches_sequential(self, mesh):
+        """A per-sample context must ride the schedule WITH its microbatch
+        (round-5 review regression: the full-batch context was closed over,
+        pairing (mb, ...) activations with (batch, ...) context rows)."""
+        key = jax.random.key(5)
+        layers = [
+            flows.AutoregressiveRationalQuadraticSpline.create(
+                jax.random.fold_in(key, i), 2, 1, 24,
+                num_context_channels=3, num_bins=4, permute_mask=True,
+                init_identity=False,  # identity init would make the
+                # context (and the whole comparison) vacuous
+            )
+            for i in range(8)
+        ]
+        z = jax.random.normal(jax.random.key(6), (32, 2))
+        ctx = jax.random.normal(jax.random.key(7), (32, 3))
+        ld = jnp.zeros(32)
+        zs = z
+        for l in layers:
+            zs, dl = l.forward(zs, ctx)
+            ld = ld + dl
+        pipe = make_pipeline_apply(layers, mesh, num_microbatches=8)
+        zp, ldp = jax.jit(pipe)(z, ctx)
+        np.testing.assert_allclose(zs, zp, atol=1e-5)
+        np.testing.assert_allclose(ld, ldp, atol=1e-4)
+        # context must matter (guard against a silently-dropped context)
+        zp0, _ = jax.jit(pipe)(z, 0 * ctx)
+        assert float(jnp.max(jnp.abs(zp0 - zp))) > 1e-4
+
     def test_indivisible_depth_raises(self, mesh):
         with pytest.raises(ValueError, match="divisible"):
             make_pipeline_apply(_layers(K=6), mesh)

@@ -77,6 +77,20 @@ class TestAnnealedSMC:
         assert_close(mean_est, jnp.full(2, 3.0), atol=0.15, rtol=0.1)
         assert abs(float(log_z)) < 0.3  # normalized target -> log Z ~ 0
 
+    def test_rejects_truncated_ladder(self):
+        """sample() initializes log_w = 0, which is exact only for the
+        beta_0=0 / beta_M=1 endpoints — any other ladder silently biases
+        every weight and the evidence estimate, so create() must refuse."""
+        import pytest
+        from normflows_tpu import distributions
+
+        proposal = distributions.DiagGaussian.create(2)
+        target = distributions.DiagGaussian.create(2)
+        with pytest.raises(ValueError, match="betas"):
+            AnnealedSMC.create(proposal, target, betas=[0.1, 0.5, 1.0])
+        with pytest.raises(ValueError, match="betas"):
+            AnnealedSMC.create(proposal, target, betas=[0.0, 0.5, 0.9])
+
     def test_flow_proposal(self):
         # flow (identity-init NSF) as the SMC proposal
         layers = [

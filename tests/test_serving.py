@@ -200,6 +200,20 @@ def test_symbolic_batch_export_with_pallas_backend_enabled():
                                atol=1e-5, rtol=1e-5)
 
 
+def test_unconditional_multiscale_sampler_exports():
+    """export_sampler must work for MultiscaleFlow, which exposes (x, log_q)
+    through sample() but has no sample_and_log_prob alias (round-5 review
+    regression: unconditional Glow models could not be exported)."""
+    import numpy as np
+    from normflows_tpu import serving
+    from tests.test_glow_multiscale import build_glow
+
+    model = build_glow(class_cond=False)
+    exp = serving.export_sampler(model, 4)
+    x, log_q = exp.call(np.uint32(7))
+    assert x.shape[0] == 4 and bool(jnp.all(jnp.isfinite(log_q)))
+
+
 def test_symbolic_batch_export_large_d_sliced_inverse():
     """The D>8 sliced sequential inverse must gate OFF for symbolic (jax.
     export) batch dims — its dyncodes Pallas kernel needs a concrete grid —

@@ -119,3 +119,27 @@ def test_restore_onto_different_mesh_topology(mesh, tmp_path):
     gathered_saved = jax.tree.map(lambda x: np.asarray(x), diff)
     gathered_restored = jax.tree.map(lambda x: np.asarray(x), restored["diff"])
     assert _max_leaf_err(gathered_saved, gathered_restored) == 0.0
+
+
+def test_manager_restores_sharded_layout(mesh, tmp_path):
+    """CheckpointManager.restore must land leaves on the template's
+    shardings like restore_checkpoint does (round-5 review: the manager
+    built its abstract template without shardings, so sharded train state
+    restored onto default placement)."""
+    from normflows_tpu.training import CheckpointManager
+
+    model = _ar_nsf_model(hidden=64, K=2)
+    opt = optax.adam(1e-3)
+    step_fn, diff, rest, opt_state = parallel.make_tensor_parallel_step(
+        model, opt, _loss_fn, mesh
+    )
+    diff, opt_state, _ = step_fn(diff, opt_state, None, jax.random.key(0))
+    assert any("model" in str(x.sharding.spec) for x in jax.tree.leaves(diff))
+
+    mgr = CheckpointManager(str(tmp_path / "mgr"))
+    mgr.save(1, {"diff": diff, "opt_state": opt_state})
+    restored = mgr.restore({"diff": diff, "opt_state": opt_state})
+    mgr.close()
+    for a, b in zip(jax.tree.leaves(restored["diff"]), jax.tree.leaves(diff)):
+        assert a.sharding == b.sharding
+    assert _max_leaf_err(restored["diff"], diff) == 0.0

@@ -62,6 +62,32 @@ class TestTrainStep:
         assert not bool(metrics["finite"])
         assert_close(before, after)  # no update applied
 
+    def test_nonfinite_loss_skipped_under_momentum(self):
+        """Masking only the GRADIENTS is not a skip under Adam: zero grads
+        still decay the moments and the bias-corrected update is nonzero
+        when momentum is warm (round-5 review regression).  The whole
+        optimizer step — parameters AND optimizer state — must hold on a
+        non-finite loss."""
+        model = build_model()
+        state, step = make_train_step(
+            model, optax.adam(1e-2), lambda m, x, k: m.forward_kld(x)
+        )
+        x_good = distributions.TwoMoons().sample(jax.random.key(1), 64)
+        for i in range(3):  # warm the Adam moments
+            state, _ = step(state, x_good, jax.random.key(i))
+        params_before = jax.tree.leaves(state.diff)
+        opt_before = jax.tree.leaves(state.opt_state)
+        state, metrics = step(state, jnp.full((8, 2), jnp.nan),
+                              jax.random.key(9))
+        assert not bool(metrics["finite"])
+        for a, b in zip(params_before, jax.tree.leaves(state.diff)):
+            assert_close(a, b)
+        for a, b in zip(opt_before, jax.tree.leaves(state.opt_state)):
+            assert_close(a, b)  # moments and count held too
+        # and a finite step afterwards still trains
+        state, metrics = step(state, x_good, jax.random.key(10))
+        assert bool(metrics["finite"])
+
 
 class TestCheckpoint:
     def test_save_restore_model(self, tmp_path):

@@ -65,7 +65,11 @@ def main():
     # per chunk, so the measurement is immune to host dispatch / device-tunnel
     # latency, and timed with the monotonic clock (time.time() is subject to
     # NTP steps, which once produced a physically impossible >100% MFU here).
-    chunk_len = 10
+    # chunk_len amortizes the per-sync tunnel RTT (~30 ms measured): at 10
+    # steps/chunk the harness under-reported the step by ~13% vs the
+    # differenced per-step cost; at 100 the residue is <2% (probe 2026-08-22,
+    # docs/performance.md "Benchmark methodology").
+    chunk_len = 100
 
     def chunk(diff, opt_state, key):
         def body(carry, _):
@@ -101,11 +105,11 @@ def main():
     diff, opt_state, key, loss = compiled(diff, opt_state, key)
     jax.block_until_ready(loss)
 
-    # median of 3 repeats, each timing 4 pipelined chunks: robust against
+    # median of 3 repeats, each timing 2 pipelined chunks: robust against
     # transient tunnel/chip stalls in either direction (one session produced
     # a physically impossible 61M samples/s single measurement — a dispatch
     # glitch — and occasional ~20%-slow outliers)
-    chunks = 4
+    chunks = 2
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -1,0 +1,257 @@
+"""On-chip Pallas kernel parity — compiled kernels vs the jnp/XLA reference.
+
+The pytest suite validates every Pallas kernel in INTERPRET mode on CPU
+(tests/test_pallas.py); interpret mode shares the kernel trace but not the
+Mosaic/TPU lowering, so a lowering bug (tiling, revectorization, dynamic
+slicing) would be invisible to the suite.  This script re-asserts numerical
+parity of the ACTUALLY COMPILED kernels against the jnp reference
+(`ops/splines.py`, the source of truth per CLAUDE.md) on the chip itself:
+
+- flat fused spline kernel (fwd + inverse, linear/circular/mixed tails,
+  aligned and padded batch sizes), values + log-dets + custom-VJP grads
+- transposed (planar) kernel `rqs_transposed_pallas` (the flagship fast
+  path), values + log-dets + grads
+- dynamic-codes kernel `unconstrained_rqs_pallas_dyncodes` (the sliced
+  large-D AR inverse path)
+- fused residual-MADE kernel (opt-in path), forward + grads
+
+Measured envelope on this chip (2026-08-22): values <= 7.4e-5, log-dets
+<= 8.4e-4 (inverse-direction quadratic solves amplify f32 ordering
+differences), gradients <= 1.3e-4 above interpret-mode parity; the fused
+MADE kernel is BIT-EXACT vs the XLA path.  Assertions sit just above that
+envelope (values 1e-4+1e-4, log-dets 1e-3+1e-3 atol+rtol) — loose enough
+for f32 reassociation, tight enough that a wrong bin selection (O(0.1+))
+or tiling bug cannot pass.  Set NF_PARITY_REPORT_ONLY=1 to print
+deviations without asserting.
+
+Run:  env PYTHONPATH="/root/.axon_site:/root/repo" python examples/onchip_kernel_parity.py
+Prints one JSON line with the max deviations per check.
+"""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from normflows_tpu.ops import splines as ref
+from normflows_tpu.ops import spline_pallas as sp
+
+
+def maxerr(a, b):
+    return float(jnp.max(jnp.abs(jnp.asarray(a) - jnp.asarray(b))))
+
+
+STRICT = os.environ.get("NF_PARITY_REPORT_ONLY", "0") != "1"
+
+
+def check(cond, info):
+    if STRICT:
+        assert cond, info
+    elif not cond:
+        print("WOULD FAIL:", info)
+
+
+def close(a, b, atol, rtol):
+    """Elementwise atol+rtol check (same form as tests/helpers.assert_close),
+    returning the max excess over the allowance (<= 0 means pass)."""
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    return float(jnp.max(jnp.abs(a - b) - (atol + rtol * jnp.abs(b))))
+
+
+def tree_maxerr(a, b):
+    return max(
+        maxerr(x, y)
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def tree_close(a, b, atol, rtol):
+    return max(
+        close(x, y, atol, rtol)
+        for x, y in zip(jax.tree.leaves(a), jax.tree.leaves(b))
+    )
+
+
+def make_inputs(B, D=3, K=8):
+    x = jax.random.uniform(jax.random.key(1), (B, D), minval=-4, maxval=4)
+    uw = jax.random.normal(jax.random.key(2), (B, D, K))
+    uh = jax.random.normal(jax.random.key(3), (B, D, K))
+    ud = jax.random.normal(jax.random.key(4), (B, D, K + 1))
+    return x, uw, uh, ud
+
+
+def check_flat(results):
+    for B, label in ((4096, "aligned"), (300, "padded")):
+        x, uw, uh, ud = make_inputs(B)
+        for codes, bound, tag in (
+            (ref.TAIL_LINEAR, 3.0, "linear"),
+            (ref.TAIL_CIRCULAR, float(np.pi), "circular"),
+            ((ref.TAIL_LINEAR, ref.TAIL_CIRCULAR, ref.TAIL_LINEAR),
+             (3.0, float(np.pi), 5.0), "mixed"),
+        ):
+            for inverse in (False, True):
+                y_p, ld_p = jax.jit(
+                    lambda x, uw, uh, ud: sp.unconstrained_rational_quadratic_spline_pallas(
+                        x, uw, uh, ud, codes, bound, inverse)
+                )(x, uw, uh, ud)
+                y_r, ld_r = jax.jit(
+                    lambda x, uw, uh, ud: ref.unconstrained_rational_quadratic_spline(
+                        x, uw, uh, ud, inverse, codes, bound)
+                )(x, uw, uh, ud)
+                key = f"flat_{label}_{tag}_{'inv' if inverse else 'fwd'}"
+                ey, el = maxerr(y_p, y_r), maxerr(ld_p, ld_r)
+                results[key] = round(max(ey, el), 8)
+                check(close(y_p, y_r, 1e-4, 1e-4) <= 0, (key, ey))
+                check(close(ld_p, ld_r, 1e-3, 1e-3) <= 0, (key, el))
+
+    # custom-VJP gradients (aligned, mixed tails, both directions)
+    x, uw, uh, ud = make_inputs(4096)
+    codes, bound = (ref.TAIL_LINEAR, ref.TAIL_CIRCULAR, ref.TAIL_LINEAR), (
+        3.0, float(np.pi), 5.0)
+    for inverse in (False, True):
+        def loss(fn):
+            def f(x, uw, uh, ud):
+                y, ld = fn(x, uw, uh, ud)
+                return jnp.mean(jnp.sin(y)) + jnp.mean(ld)
+            return f
+
+        g_p = jax.jit(jax.grad(loss(
+            lambda *a: sp.unconstrained_rational_quadratic_spline_pallas(
+                *a, codes, bound, inverse)), argnums=(0, 1, 2, 3)))(x, uw, uh, ud)
+        g_r = jax.jit(jax.grad(loss(
+            lambda *a: ref.unconstrained_rational_quadratic_spline(
+                *a, inverse, codes, bound)), argnums=(0, 1, 2, 3)))(x, uw, uh, ud)
+        key = f"flat_grads_{'inv' if inverse else 'fwd'}"
+        e = tree_maxerr(g_p, g_r)
+        results[key] = round(e, 8)
+        check(tree_close(g_p, g_r, 2e-3, 2e-3) <= 0, (key, e))
+
+
+def check_transposed(results):
+    F, B, K = 2, 4096, 10
+    S = 3 * K + 1
+    codes = (ref.TAIL_LINEAR, ref.TAIL_CIRCULAR)
+    bounds = (5.0, float(np.pi))
+    x_t = jax.random.normal(jax.random.key(5), (F, B)) * 2.0
+    params_t = jax.random.normal(jax.random.key(6), (F * S, B))
+
+    def ref_path(x_t, params_t):
+        ys, lds = [], []
+        for f in range(F):
+            p = params_t[f * S:(f + 1) * S].T  # (B, S)
+            y, ld = ref.unconstrained_rational_quadratic_spline(
+                x_t[f], p[:, :K], p[:, K:2 * K], p[:, 2 * K:],
+                False, codes[f], bounds[f])
+            ys.append(y)
+            lds.append(ld)
+        return jnp.stack(ys), jnp.stack(lds)
+
+    for inverse in (False, True):
+        y_p, ld_p = jax.jit(lambda x, p: sp.rqs_transposed_pallas(
+            x, p, codes, bounds, inverse))(x_t, params_t)
+        if inverse:
+            def ref_inv(x_t, params_t):
+                ys, lds = [], []
+                for f in range(F):
+                    p = params_t[f * S:(f + 1) * S].T
+                    y, ld = ref.unconstrained_rational_quadratic_spline(
+                        x_t[f], p[:, :K], p[:, K:2 * K], p[:, 2 * K:],
+                        True, codes[f], bounds[f])
+                    ys.append(y)
+                    lds.append(ld)
+                return jnp.stack(ys), jnp.stack(lds)
+            y_r, ld_r = jax.jit(ref_inv)(x_t, params_t)
+        else:
+            y_r, ld_r = jax.jit(ref_path)(x_t, params_t)
+        key = f"transposed_{'inv' if inverse else 'fwd'}"
+        ey, el = maxerr(y_p, y_r), maxerr(ld_p, ld_r)
+        results[key] = round(max(ey, el), 8)
+        check(close(y_p, y_r, 1e-4, 1e-4) <= 0, (key, ey))
+        check(close(ld_p, ld_r, 1e-3, 1e-3) <= 0, (key, el))
+
+    def loss_p(x, p):
+        y, ld = sp.rqs_transposed_pallas(x, p, codes, bounds, False)
+        return jnp.mean(jnp.sin(y)) + jnp.mean(ld)
+
+    def loss_r(x, p):
+        y, ld = ref_path(x, p)
+        return jnp.mean(jnp.sin(y)) + jnp.mean(ld)
+
+    g_p = jax.jit(jax.grad(loss_p, argnums=(0, 1)))(x_t, params_t)
+    g_r = jax.jit(jax.grad(loss_r, argnums=(0, 1)))(x_t, params_t)
+    e = tree_maxerr(g_p, g_r)
+    results["transposed_grads"] = round(e, 8)
+    check(tree_close(g_p, g_r, 4e-3, 4e-3) <= 0, ("transposed_grads", e))
+
+
+def check_dyncodes(results):
+    N, K = 4096, 8
+    x = jax.random.uniform(jax.random.key(7), (N,), minval=-4, maxval=4)
+    uw_t = jax.random.normal(jax.random.key(8), (K, N))
+    uh_t = jax.random.normal(jax.random.key(9), (K, N))
+    ud_t = jax.random.normal(jax.random.key(10), (K + 1, N))
+    codes = jnp.where(jnp.arange(N) % 2 == 0, ref.TAIL_LINEAR,
+                      ref.TAIL_CIRCULAR).astype(jnp.int32)
+    bounds = jnp.where(jnp.arange(N) % 2 == 0, 3.0, float(np.pi))
+    for inverse in (False, True):
+        y_p, ld_p = jax.jit(lambda *a: sp.unconstrained_rqs_pallas_dyncodes(
+            *a, inverse))(x, uw_t, uh_t, ud_t, codes, bounds)
+        y_r, ld_r = jax.jit(lambda x, uw, uh, ud: ref.unconstrained_rational_quadratic_spline(
+            x, uw.T, uh.T, ud.T, inverse, codes, bounds))(x, uw_t, uh_t, ud_t)
+        key = f"dyncodes_{'inv' if inverse else 'fwd'}"
+        ey, el = maxerr(y_p, y_r), maxerr(ld_p, ld_r)
+        results[key] = round(max(ey, el), 8)
+        check(close(y_p, y_r, 1e-4, 1e-4) <= 0, (key, ey))
+        check(close(ld_p, ld_r, 1e-3, 1e-3) <= 0, (key, el))
+
+
+def check_made_fused(results):
+    import normflows_tpu as nf
+    from normflows_tpu.nets import MADE
+    from normflows_tpu.ops import made_pallas
+
+    made = MADE.create(jax.random.key(11), features=2, hidden_features=512,
+                       num_blocks=1, output_multiplier=31, permute_mask=True,
+                       rng_seed=3)
+    x = jax.random.normal(jax.random.key(12), (4096, 2))
+    if not made_pallas.fusable(made, x, None):
+        results["made_fused"] = "not_fusable_at_this_config"
+        return
+    fused = jax.jit(lambda m, x: made_pallas.made_apply_fused(m, x))(made, x)
+    plain = jax.jit(lambda m, x: m(x))(made, x)
+    e = maxerr(fused, plain)
+    results["made_fused_fwd"] = round(e, 7)
+    check(e < 1e-3, ("made_fused_fwd", e))  # matmul-order allowance
+
+    diff, rest = nf.partition(made)
+
+    def loss(d, use_fused):
+        m = nf.combine(d, rest)
+        o = made_pallas.made_apply_fused(m, x) if use_fused else m(x)
+        return jnp.mean(jnp.sin(o))
+
+    g_f = jax.jit(jax.grad(lambda d: loss(d, True)))(diff)
+    g_p = jax.jit(jax.grad(lambda d: loss(d, False)))(diff)
+    e = tree_maxerr(g_f, g_p)
+    results["made_fused_grads"] = round(e, 7)
+    check(e < 5e-3, ("made_fused_grads", e))
+
+
+def main():
+    backend = jax.default_backend()
+    if backend != "tpu":
+        print(json.dumps({"skipped": f"needs TPU, got {backend}"}))
+        return
+    results = {"device": str(jax.devices()[0].device_kind)}
+    check_flat(results)
+    check_transposed(results)
+    check_dyncodes(results)
+    check_made_fused(results)
+    results["ok"] = True
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -45,6 +45,7 @@ CASES = {
     "neural_spline_twomoons.py": ["--iters", "2", "--batch", "64"],
     "nsf_cylinder.py": ["--iters", "2", "--num-samples", "64"],
     "nuts_bench.py": ["--tiny"],
+    "onchip_kernel_parity.py": [],  # prints {"skipped": ...} off-TPU
     "parallel_modes.py": [],
     "plain_vae.py": ["--epochs", "1", "--latent", "8", "--batch", "512"],
     "planar_radial_comparison.py": ["--iters", "2", "--k", "2"],

@@ -199,7 +199,11 @@ def exported_flagship_cases(tiny):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=10)
+    # 100 iters/chunk amortizes the ~29 ms per-sync tunnel RTT below 1%;
+    # the old default (10, = 40 steps/sync with chunks=4) under-reported
+    # fast endpoints by up to ~37% (docs/performance.md "Benchmark
+    # methodology").
+    ap.add_argument("--iters", type=int, default=100)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--exported", action="store_true",
                     help="also time the loaded StableHLO bundle endpoints "

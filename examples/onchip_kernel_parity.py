@@ -47,9 +47,11 @@ STRICT = os.environ.get("NF_PARITY_REPORT_ONLY", "0") != "1"
 
 
 def check(cond, info):
-    if STRICT:
-        assert cond, info
-    elif not cond:
+    # explicit raise, not `assert` — this script's whole purpose is to fail
+    # on compiled-kernel divergence, and asserts vanish under `python -O`
+    if STRICT and not cond:
+        raise AssertionError(info)
+    if not STRICT and not cond:
         print("WOULD FAIL:", info)
 
 

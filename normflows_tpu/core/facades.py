@@ -322,7 +322,17 @@ def load_params_like(model, path: str):
                 f" (leaf {i}) has shape {saved_arr.shape}, model expects"
                 f" {getattr(leaf, 'shape', ())}"
             )
-    return jax.tree.unflatten(treedef, [jnp.asarray(l) for l in data["leaves"]])
+    # convert into each MODEL leaf's dtype (torch copy_ semantics): a bf16
+    # model loaded from an f32 checkpoint must come back bf16, not silently
+    # widen and change compiled-kernel dtypes downstream
+    model_leaves = jax.tree.leaves(model)
+    return jax.tree.unflatten(
+        treedef,
+        [
+            jnp.asarray(l, dtype=getattr(ml, "dtype", None))
+            for ml, l in zip(model_leaves, data["leaves"])
+        ],
+    )
 
 
 class ClassCondFlow(Module):

@@ -202,8 +202,13 @@ class MaskedPiecewiseRationalQuadraticAutoregressive(Autoregressive):
         kernel (the active feature's tail code/bound is a loop variable);
         the jnp spline here measured 0.26 ms PER CALL inside the recursion
         (unfused ~30-op graphs on a (B, 1) slice) — 64 calls cost more than
-        the whole naive path (docs/performance.md "Large-D
-        autoregressive")."""
+        the whole PALLAS-backed naive path (docs/performance.md "Large-D
+        autoregressive").  That comparison cannot arise in practice: the
+        naive recursion's full-width spline gates on exactly the same
+        (use_pallas, f32, unconstrained) conditions as this row kernel, so
+        whenever the fallback below runs, the naive path would be running
+        the full-width jnp spline D times instead (measured 1510 ms at
+        D=64 — ~90x worse than D jnp row splines)."""
         if (backend.use_pallas() and x_row.dtype == jnp.float32
                 and not self.constrained):
             from ...ops.spline_pallas import unconstrained_rqs_pallas_dyncodes

@@ -79,9 +79,12 @@ def _make_pipeline_raw(
         # so each stage indexes that row block; an unbatched/shared context
         # passes through whole.  (Closing the full context over the body
         # would pair a (mb, ...) activation with (batch, ...) context rows.)
+        # per-sample contexts are (batch, C...); a 1-D context is always an
+        # unbatched feature vector (MADE.context_cache_t handles those),
+        # even if its length coincidentally equals the batch size
         per_sample = (
             context is not None
-            and getattr(context, "ndim", 0) >= 1
+            and getattr(context, "ndim", 0) >= 2
             and context.shape[0] == batch
         )
         ctx_args = (context,) if context is not None else ()

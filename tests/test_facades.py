@@ -337,3 +337,13 @@ def test_load_params_like_converts_dtype(tmp_path):
     for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(model)):
         assert a.dtype == b.dtype
         assert_close(a, b)
+
+    # conversion toward a NON-default model dtype (the x64-off squash above
+    # cannot see this): an f32-saved checkpoint into a bf16 model must come
+    # back bf16, not silently widen (round-5 review)
+    bf16_model = jax.tree.map(lambda x: x.astype(jnp.bfloat16), model)
+    bf16_path = str(tmp_path / "m32.pkl")
+    model.save(bf16_path)  # f32 leaves on disk
+    restored16 = load_params_like(bf16_model, bf16_path)
+    for a, b in zip(jax.tree.leaves(restored16), jax.tree.leaves(bf16_model)):
+        assert a.dtype == b.dtype == jnp.bfloat16

@@ -117,6 +117,32 @@ class TestPipeline:
         zp0, _ = jax.jit(pipe)(z, 0 * ctx)
         assert float(jnp.max(jnp.abs(zp0 - zp))) > 1e-4
 
+    def test_unbatched_context_length_equal_to_batch(self, mesh):
+        """A 1-D (unbatched) context whose length coincidentally equals the
+        batch size must pass through whole, not be microbatched into
+        per-sample row blocks (round-5 review: the per_sample check
+        accepted ndim >= 1)."""
+        key = jax.random.key(8)
+        layers = [
+            flows.AutoregressiveRationalQuadraticSpline.create(
+                jax.random.fold_in(key, i), 2, 1, 24,
+                num_context_channels=32, num_bins=4, permute_mask=True,
+                init_identity=False,
+            )
+            for i in range(8)
+        ]
+        z = jax.random.normal(jax.random.key(9), (32, 2))
+        ctx = jax.random.normal(jax.random.key(10), (32,))  # len == batch
+        ld = jnp.zeros(32)
+        zs = z
+        for l in layers:
+            zs, dl = l.forward(zs, ctx)
+            ld = ld + dl
+        pipe = make_pipeline_apply(layers, mesh, num_microbatches=8)
+        zp, ldp = jax.jit(pipe)(z, ctx)
+        np.testing.assert_allclose(zs, zp, atol=1e-5)
+        np.testing.assert_allclose(ld, ldp, atol=1e-4)
+
     def test_indivisible_depth_raises(self, mesh):
         with pytest.raises(ValueError, match="divisible"):
             make_pipeline_apply(_layers(K=6), mesh)

@@ -65,11 +65,13 @@ def main():
     # per chunk, so the measurement is immune to host dispatch / device-tunnel
     # latency, and timed with the monotonic clock (time.time() is subject to
     # NTP steps, which once produced a physically impossible >100% MFU here).
-    # chunk_len amortizes the per-sync tunnel RTT (~30 ms measured): at 10
-    # steps/chunk the harness under-reported the step by ~13% vs the
-    # differenced per-step cost; at 100 the residue is <2% (probe 2026-08-22,
-    # docs/performance.md "Benchmark methodology").
-    chunk_len = 100
+    # chunk_len amortizes the ~30 ms fixed cost per DISPATCH through the
+    # device tunnel (pipelining does not hide it — measured 2026-08-22: 2
+    # pipelined 100-step chunks still paid ~26 ms each): at 10 steps/chunk
+    # the harness under-reported the step by ~13% vs the differenced
+    # per-step cost; at 500 the residue is ~1% (docs/performance.md
+    # "Benchmark methodology").
+    chunk_len = 500
 
     def chunk(diff, opt_state, key):
         def body(carry, _):
@@ -105,11 +107,11 @@ def main():
     diff, opt_state, key, loss = compiled(diff, opt_state, key)
     jax.block_until_ready(loss)
 
-    # median of 3 repeats, each timing 2 pipelined chunks: robust against
-    # transient tunnel/chip stalls in either direction (one session produced
-    # a physically impossible 61M samples/s single measurement — a dispatch
+    # median of 3 repeats, one chunk per repeat: robust against transient
+    # tunnel/chip stalls in either direction (one session produced a
+    # physically impossible 61M samples/s single measurement — a dispatch
     # glitch — and occasional ~20%-slow outliers)
-    chunks = 2
+    chunks = 1
     rates = []
     for _ in range(3):
         t0 = time.perf_counter()

@@ -28,26 +28,53 @@ from normflows_tpu.utils import enable_compilation_cache
 from normflows_tpu.utils.profiling import chip_peak_flops, executable_cost
 
 
-def timed_compiled_step(step_fn, args, iters, warmup=3, donate=(0, 1)):
-    """AOT-compile, pull cost analysis from the SAME executable, then time it."""
+def timed_compiled_step(step_fn, args, iters, warmup=3, donate=(0, 1),
+                        make_inputs=None):
+    """AOT-compile, pull cost analysis from the SAME executable, then time
+    a chunk of `iters` steps inside ONE `lax.scan` dispatch.
+
+    The earlier pipelined per-call loop paid ~1.2 ms/call of tunnel
+    dispatch overhead plus a poorly-amortized sync RTT (measured
+    2026-08-22; CLAUDE.md trap (d)).  ``make_inputs(key) -> tuple`` builds
+    the step's non-state inputs FRESH per scan iteration from the key
+    carry, so no input-dependent work is loop-invariant (hoisting trap).
+    FLOPs come from the single-step executable: scan bodies are
+    cost-counted once (tests/test_profiling.py).
+    """
     jitted = jax.jit(step_fn, donate_argnums=donate)
     compiled = jitted.lower(*args).compile()
     ca = executable_cost(compiled)
     flops = float(ca.get("flops", 0.0))
     byts = float(ca.get("bytes accessed", 0.0))
 
-    # every step returns (diff, opt_state, loss): first 2 outputs are state
-    state = args
-    for _ in range(warmup):
-        out = compiled(*state)
-        state = out[:2] + state[2:]
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = compiled(*state)
-        state = out[:2] + state[2:]
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters
+    if make_inputs is None:
+        make_inputs = lambda key: args[2:]
+
+    def chunk(diff, opt_state, key):
+        def body(carry, _):
+            diff, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            diff, opt_state, loss = step_fn(diff, opt_state,
+                                            *make_inputs(sub))
+            return (diff, opt_state, key), loss
+
+        (diff, opt_state, key), losses = jax.lax.scan(
+            body, (diff, opt_state, key), None, length=iters)
+        return diff, opt_state, key, losses[-1]
+
+    chunked = (
+        jax.jit(chunk, donate_argnums=(0, 1))
+        .lower(args[0], args[1], jax.random.key(9)).compile()
+    )
+    diff, opt_state, key, loss = chunked(args[0], args[1], jax.random.key(9))
+    jax.block_until_ready(loss)  # warm (one chunk = `iters` steps)
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        diff, opt_state, key, loss = chunked(diff, opt_state, key)
+        jax.block_until_ready(loss)
+        rates.append((time.perf_counter() - t0) / iters)
+    dt = sorted(rates)[1]
     return flops, byts, dt
 
 
@@ -83,7 +110,8 @@ def flagship_case(tiny, iters):
         return optax.apply_updates(diff, updates), opt_state, loss
 
     flops, byts, dt = timed_compiled_step(
-        step, (diff, opt_state, jax.random.key(0)), iters)
+        step, (diff, opt_state, jax.random.key(0)), iters,
+        make_inputs=lambda key: (key,))  # fresh PRNG key per scanned step
     return "nsf_cylinder_train_step", flops, byts, dt, num_samples
 
 
@@ -111,14 +139,20 @@ def glow_case(tiny, iters):
         updates, opt_state = opt.update(grads, opt_state, diff)
         return optax.apply_updates(diff, updates), opt_state, loss
 
+    def fresh_batch(key):  # on-device fresh data per scanned step
+        kx, ky = jax.random.split(key)
+        return (jax.random.uniform(kx, (batch, 3, hw, hw),
+                                   minval=0.01, maxval=0.99),
+                jax.random.randint(ky, (batch,), 0, 10))
+
     flops, byts, dt = timed_compiled_step(
-        step, (diff, opt_state, x, y), iters)
+        step, (diff, opt_state, x, y), iters, make_inputs=fresh_batch)
     return "glow_train_step", flops, byts, dt, batch
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=200)  # steps per timed dispatch (~30 ms fixed cost per dispatch)
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--only", choices=["flagship", "glow"], default=None)
     args = ap.parse_args()

@@ -42,8 +42,10 @@ def test_no_shuffle_no_jitter_matches_jnp_preprocessing():
     assert epoch == 0 and x.shape == (8, 3, 4, 4) and x.dtype == np.float32
     np.testing.assert_array_equal(y, labels[:8])
 
+    # host-side f64 dequant first (matches the native loader's math and
+    # avoids the jnp x64-truncation warning), then the jnp Logit
     ref = preprocessing.Logit(alpha=0.05)(
-        jnp.asarray(images[:8], jnp.float64) / 255.0 * (255.0 / 256.0)
+        jnp.asarray(np.asarray(images[:8], np.float64) / 255.0 * (255.0 / 256.0))
     )
     np.testing.assert_allclose(x, np.asarray(ref, np.float32), rtol=1e-6,
                                atol=1e-6)
@@ -98,7 +100,7 @@ def test_numpy_fallback_same_contract():
     assert x.shape == (4, 3, 4, 4) and e == 0
     np.testing.assert_array_equal(y, labels[:4])
     ref = preprocessing.Logit(alpha=0.05)(
-        jnp.asarray(images[:4], jnp.float64) / 255.0 * (255.0 / 256.0)
+        jnp.asarray(np.asarray(images[:4], np.float64) / 255.0 * (255.0 / 256.0))
     )
     np.testing.assert_allclose(x, np.asarray(ref, np.float32), rtol=1e-6,
                                atol=1e-6)
